@@ -1,0 +1,75 @@
+"""FlatIndex: exact brute-force top-k scan.
+
+Replaces the reference's `FlatIndex` (`diskann/src/flat/mod.rs`) and the
+groundtruth CLI (`diskann-tools/src/bin/compute_groundtruth.rs`).  On TPU the
+scan is a single (queries x database) distance matmul tiled over database
+chunks so arbitrarily large databases stream through HBM with a running top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
+from diskann_tpu.ops.topk import merge_sorted
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "chunk"))
+def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: int):
+    b = queries.shape[0]
+    n = vectors.shape[0]
+    q_sq = squared_norms(queries) if metric.needs_norms else None
+
+    num_chunks = (n + chunk - 1) // chunk
+    best_d = jnp.full((b, k), jnp.inf, dtype=jnp.float32)
+    best_i = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def body(c, carry):
+        best_d, best_i = carry
+        start = c * chunk
+        v = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
+        vn = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+        d = distance_to_set(queries, v, metric, x_sq_norms=vn, q_sq_norms=q_sq)
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        # out-of-range rows of the final (padded) chunk
+        d = jnp.where(ids < n, d, jnp.inf)
+        best_d, best_i = merge_sorted(best_d, best_i, d, ids, k)
+        return best_d, best_i
+
+    return jax.lax.fori_loop(0, num_chunks, body, (best_d, best_i))
+
+
+class FlatIndex:
+    """Exact top-k index over an in-HBM (or chunk-streamed) database."""
+
+    def __init__(self, vectors, metric: Metric = Metric.L2):
+        vectors = jnp.asarray(vectors)
+        self.n, self.dim = vectors.shape
+        self.metric = metric
+        # Pad N to the chunk multiple lazily in search; keep raw array here.
+        self.vectors = vectors
+        self.sq_norms = (
+            squared_norms(vectors)
+            if metric.needs_norms
+            else jnp.zeros((self.n,), jnp.float32)
+        )
+
+    def search(self, queries, k: int, *, chunk: int | None = None):
+        """Exact k-NN. queries: [B, d]. Returns (dists [B,k], ids [B,k]) numpy."""
+        queries = jnp.asarray(queries)
+        if chunk is None:
+            # ~256MB of distance matrix per chunk at B=10k.
+            chunk = min(max(8192, 1 << 14), max(self.n, 128))
+        chunk = min(chunk, self.n)
+        # pad the database so dynamic_slice chunks never clamp short
+        pad = (-self.n) % chunk
+        vectors, sq = self.vectors, self.sq_norms
+        if pad:
+            vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
+            sq = jnp.pad(sq, (0, pad))
+        d, i = _flat_search(queries, vectors, sq, metric=self.metric, k=k, chunk=chunk)
+        return np.asarray(d), np.asarray(i)

@@ -1,0 +1,194 @@
+"""GraphIndex — the user-facing Vamana index facade.
+
+Replaces the reference's `DiskANNIndex` + in-memory provider stack
+(`diskann/src/graph/index.rs:58`, `diskann-inmem/src/provider.rs`).  The host
+side only orchestrates: capacity growth, batch padding, start-point upkeep;
+every hot operation is a jitted batched kernel over the `GraphArrays` pytree.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskann_tpu.graph import state as graph_state
+from diskann_tpu.graph.build import insert_batch
+from diskann_tpu.graph.config import GraphConfig
+from diskann_tpu.graph.search import beam_search
+from diskann_tpu.ops.distance import Metric
+
+
+class SearchStats(NamedTuple):
+    """Aggregated search statistics (reference `SearchStats`, index.rs:89-102)."""
+
+    cmps: np.ndarray     # [B] distance computations per query
+    hops: np.ndarray     # [B] nodes expanded per query
+    result_count: np.ndarray
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GraphIndex:
+    """A dynamic Vamana graph index on TPU."""
+
+    def __init__(
+        self,
+        dim: int,
+        config: GraphConfig | None = None,
+        *,
+        capacity: int = 1024,
+        dtype=jnp.float32,
+        insert_batch_size: int = 1024,
+        search_batch_size: int = 1024,
+    ):
+        self.config = config or GraphConfig()
+        self.dim = dim
+        self.dtype = dtype
+        self.insert_batch_size = insert_batch_size
+        self.search_batch_size = search_batch_size
+        self.n = 0
+        self._start_ids: jax.Array | None = None
+        self.state = graph_state.alloc(
+            _round_up(capacity, insert_batch_size),
+            dim,
+            self.config.max_degree_with_slack,
+            dtype=dtype,
+        )
+        self.last_insert_stats: dict | None = None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        vectors,
+        config: GraphConfig | None = None,
+        *,
+        dtype=jnp.float32,
+        insert_batch_size: int = 1024,
+        **kwargs,
+    ) -> "GraphIndex":
+        """Bulk-build an index over `vectors` via batched multi_insert."""
+        vectors = np.asarray(vectors)
+        n, dim = vectors.shape
+        idx = cls(
+            dim,
+            config,
+            capacity=max(n, insert_batch_size),
+            dtype=dtype,
+            insert_batch_size=insert_batch_size,
+            **kwargs,
+        )
+        idx.insert(vectors)
+        return idx
+
+    def _ensure_capacity(self, needed: int):
+        cap = self.state.capacity
+        if needed <= cap:
+            return
+        new_cap = _round_up(max(needed, int(cap * 1.5)), self.insert_batch_size)
+        self.state = graph_state.grow(self.state, new_cap)
+
+    def _start(self) -> jax.Array:
+        if self.n == 0:
+            return jnp.full((1,), -1, jnp.int32)
+        return graph_state.medoid(self.state, jnp.int32(self.n))[None]
+
+    # ----------------------------------------------------------------- insert
+    def insert(self, vectors) -> np.ndarray:
+        """Insert a batch of vectors; returns their assigned internal ids.
+
+        Mirrors `DiskANNIndex::multi_insert` (index.rs:815): the batch is cut
+        into fixed-size minibatches, each committed with the 3-phase batched
+        kernel in `diskann_tpu.graph.build`.
+        """
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None]
+        m_total = vectors.shape[0]
+        ids = np.arange(self.n, self.n + m_total, dtype=np.int64)
+        self._ensure_capacity(self.n + _round_up(m_total, self.insert_batch_size))
+
+        bs = self.insert_batch_size
+        cmps = hops = 0
+        for off in range(0, m_total, bs):
+            chunk = vectors[off : off + bs]
+            m = chunk.shape[0]
+            if m < bs:
+                chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
+            row_valid = jnp.arange(bs) < m
+            self.state, stats = insert_batch(
+                self.state,
+                jnp.int32(self.n),
+                jnp.asarray(chunk),
+                row_valid,
+                self._start(),
+                self.config,
+            )
+            self.n += m
+            cmps += int(stats.cmps.sum())
+            hops += int(stats.hops.sum())
+        self.last_insert_stats = {"cmps": cmps, "hops": hops}
+        return ids
+
+    # ----------------------------------------------------------------- search
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        *,
+        l_search: int | None = None,
+        beam_width: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
+        """k-NN search. Returns (dists [B,k], ids [B,k], stats)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        l = l_search if l_search is not None else max(k, self.config.l_build)
+        l = max(l, k)
+        w = beam_width if beam_width is not None else self.config.beam_width
+
+        bs = min(self.search_batch_size, _round_up(b, 64))
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int32)
+        cmps = np.zeros((b,), np.int32)
+        hops = np.zeros((b,), np.int32)
+        start = self._start()
+        for off in range(0, b, bs):
+            q = queries[off : off + bs]
+            m = q.shape[0]
+            if m < bs:
+                q = np.pad(q, ((0, bs - m), (0, 0)))
+            res = beam_search(
+                self.state.vectors,
+                self.state.sq_norms,
+                self.state.adjacency,
+                start,
+                jnp.asarray(q),
+                metric=self.config.metric,
+                l_search=l,
+                beam_width=w,
+                max_hops=self.config.max_hops,
+                history_capacity=self.config.history_capacity(l),
+            )
+            out_d[off : off + m] = np.asarray(res.dists[:m, :k])
+            out_i[off : off + m] = np.asarray(res.ids[:m, :k])
+            cmps[off : off + m] = np.asarray(res.cmps[:m])
+            hops[off : off + m] = np.asarray(res.hops[:m])
+        stats = SearchStats(
+            cmps=cmps, hops=hops, result_count=(out_i >= 0).sum(axis=1)
+        )
+        return out_d, out_i, stats
+
+    # ------------------------------------------------------------------ misc
+    @property
+    def metric(self) -> Metric:
+        return self.config.metric
+
+    def __len__(self) -> int:
+        return self.n

@@ -1,0 +1,191 @@
+"""Batched RobustPrune (alpha-occlusion pruning).
+
+Reference: `DiskANNIndex::occlude_list`, `diskann/src/graph/index.rs:2565-2777`.
+Semantics reproduced exactly for the TriangleInequality rule (L2/cosine):
+
+- the candidate pool is sorted ascending by distance to the pruned point;
+- alpha runs a ladder 1.0 -> alpha multiplying by min(alpha, 1.2) per rung
+  (`index.rs:2599,2741`);
+- within a rung, candidates are scanned in pool order and promoted when the
+  max occlusion factor vs earlier-positioned already-promoted neighbors is
+  <= the rung's alpha; promoted neighbors occlude only *later* positions
+  (`index.rs:2692` skips `result_position >= i`);
+- occlusion factors accumulate across rungs; promotion stops at `degree`.
+
+TPU re-design: the sequential in-order scan is replaced by an equivalent
+fixed-point iteration that needs only O(degree) steps instead of O(pool):
+because occlusion factors only grow within a rung, promoting "the first
+eligible position, then occluding later positions" repeatedly yields exactly
+the same promotion set and order as the reference's scan.  Each step is a
+batched ``[B, C]`` mask update plus one row-gather from the precomputed
+``[B, C, C]`` candidate pairwise-distance tensor (one MXU contraction).
+
+Divergence note (documented, deliberate): for the InnerProduct `Occluding`
+rule the reference applies the knockout with the alpha of the rung in which a
+(candidate, neighbor) pair happens to be lazily checked; we apply it eagerly
+with the alpha of the neighbor's promotion rung.  For the default single- and
+two-rung ladders the reachable difference is negligible and recall-neutral.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diskann_tpu.graph.config import GraphConfig, PruneKind, OCCLUDING_MASK
+from diskann_tpu.ops.distance import Metric, pairwise_distance
+from diskann_tpu.ops.topk import mask_duplicates_sorted
+
+_INF = jnp.float32(jnp.inf)
+_SENT = jnp.int32(2**31 - 1)
+
+
+class PruneResult(NamedTuple):
+    ids: jax.Array     # [B, R] i32 selected neighbors in promotion order, -1 pad
+    dists: jax.Array   # [B, R] f32 distance of each selected neighbor to p
+    count: jax.Array   # [B] i32
+
+
+def _occlude_update(kind: PruneKind, occ, p_dist, jk_dist, alpha):
+    """One neighbor's occlusion contribution — `config/mod.rs:update_occlude_factor`.
+
+    p_dist: [B, C] d(p, k); jk_dist: [B, C] d(j, k) for the just-promoted j.
+    """
+    if kind == PruneKind.TriangleInequality:
+        ratio = jnp.where(jk_dist == 0.0, _INF, p_dist / jk_dist)
+        return jnp.maximum(occ, ratio)
+    knocked = jk_dist < alpha * p_dist
+    return jnp.where(knocked, jnp.float32(alpha + OCCLUDING_MASK), occ)
+
+
+@partial(jax.jit, static_argnames=("degree", "alpha_ladder", "kind", "saturate"))
+def _occlude_scan(
+    pool_d: jax.Array,     # [B, C] sorted ascending, inf for invalid
+    pair: jax.Array,       # [B, C, C] pairwise candidate distances
+    valid: jax.Array,      # [B, C] bool
+    *,
+    degree: int,
+    alpha_ladder: tuple,
+    kind: PruneKind,
+    saturate: bool,
+):
+    b, c = pool_d.shape
+    occ = jnp.where(valid, 0.0, _INF)          # [B, C]
+    selected = jnp.zeros((b, c), dtype=jnp.bool_)
+    found = jnp.zeros((b,), dtype=jnp.int32)
+    # promotion order: sel_pos[b, n] = pool position of the n-th neighbor
+    sel_pos = jnp.full((b, degree), c, dtype=jnp.int32)
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+
+    def rung(alpha, occ, selected, found, sel_pos):
+        alpha_f = jnp.float32(alpha)
+
+        def cond(carry):
+            occ, selected, found, sel_pos = carry
+            eligible = (occ <= alpha_f) & ~selected & valid & (found[:, None] < degree)
+            return jnp.any(eligible)
+
+        def step(carry):
+            occ, selected, found, sel_pos = carry
+            eligible = (occ <= alpha_f) & ~selected & valid & (found[:, None] < degree)
+            any_row = jnp.any(eligible, axis=1)                      # [B]
+            jstar = jnp.argmin(jnp.where(eligible, pos_iota, c), axis=1)  # [B]
+            # gather d(j*, k) row of the pairwise tensor
+            jk = jnp.take_along_axis(
+                pair, jstar[:, None, None], axis=1
+            ).squeeze(1)                                              # [B, C]
+            newocc = _occlude_update(kind, occ, pool_d, jk, alpha_f)
+            later = pos_iota > jstar[:, None]
+            occ = jnp.where(any_row[:, None] & later, newocc, occ)
+            selected = selected | (any_row[:, None] & (pos_iota == jstar[:, None]))
+            sel_pos = jax.vmap(
+                lambda sp, f, j, a: sp.at[jnp.where(a, f, degree)].set(j, mode="drop")
+            )(sel_pos, found, jstar, any_row)
+            found = found + any_row.astype(jnp.int32)
+            return occ, selected, found, sel_pos
+
+        occ, selected, found, sel_pos = jax.lax.while_loop(
+            cond, step, (occ, selected, found, sel_pos)
+        )
+        return occ, selected, found, sel_pos
+
+    for alpha in alpha_ladder:
+        occ, selected, found, sel_pos = rung(alpha, occ, selected, found, sel_pos)
+
+    if saturate:
+        # Fill remaining slots in pool (distance) order with unselected valid
+        # candidates — `index.rs:2766-2776`.
+        fillable = valid & ~selected
+        rank = jnp.cumsum(fillable.astype(jnp.int32), axis=1) - 1
+        slot = found[:, None] + rank
+        take = fillable & (slot < degree)
+        sel_pos = jax.vmap(
+            lambda sp, sl, t, p: sp.at[jnp.where(t, sl, degree)].set(p, mode="drop")
+        )(sel_pos, slot, take, pos_iota)
+        found = jnp.minimum(found + take.astype(jnp.int32).sum(axis=1), degree)
+
+    return sel_pos, found
+
+
+def robust_prune(
+    p_vecs: jax.Array,        # [B, d] points being pruned
+    cand_ids: jax.Array,      # [B, C] candidate ids (-1 invalid; may contain dups/self)
+    cand_dists: jax.Array,    # [B, C] d(p, candidate)
+    cand_vecs: jax.Array,     # [B, C, d] candidate vectors (gathered by caller)
+    self_ids: jax.Array,      # [B] id of each pruned point (self-loop exclusion)
+    config: GraphConfig,
+    *,
+    degree: int | None = None,
+    saturate: bool | None = None,
+) -> PruneResult:
+    """Batched RobustPrune of B candidate pools at once.
+
+    Handles id-dedup, self-exclusion and distance-sorting of the pool, then
+    runs the occlusion scan.  Returns up to ``degree`` neighbors per row in
+    promotion order (reference returns them in the same order,
+    `index.rs:2744-2749`).
+    """
+    b, c = cand_ids.shape
+    degree = degree if degree is not None else config.max_degree
+    if saturate is None:
+        saturate = config.saturate_after_prune and config.alpha > 1.0
+
+    # --- dedup by id + drop self loops (`exclude` in occlude_list) ---
+    invalid = (cand_ids < 0) | (cand_ids == self_ids[:, None])
+    key = jnp.where(invalid, _SENT, cand_ids)
+    order = jnp.argsort(key, axis=1)
+    key_sorted = jnp.take_along_axis(key, order, axis=1)
+    dup_sorted = mask_duplicates_sorted(key_sorted)
+    # scatter dup flags back to original positions
+    dup = jnp.zeros_like(invalid)
+    dup = jax.vmap(lambda dd, o, v: dd.at[o].set(v))(dup, order, dup_sorted)
+    valid = ~invalid & ~dup & (key != _SENT)
+
+    # --- sort pool ascending by distance (invalid to the end) ---
+    pool_d = jnp.where(valid, cand_dists, _INF)
+    pool_d, perm = jax.lax.sort(
+        (pool_d, jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c))),
+        dimension=-1, num_keys=1,
+    )
+    pool_ids = jnp.take_along_axis(cand_ids, perm, axis=1)
+    pool_vecs = jnp.take_along_axis(cand_vecs, perm[:, :, None], axis=1)
+    pool_valid = jnp.take_along_axis(valid, perm, axis=1)
+
+    pair = pairwise_distance(pool_vecs, pool_vecs, config.metric)  # [B, C, C]
+
+    sel_pos, found = _occlude_scan(
+        pool_d, pair, pool_valid,
+        degree=degree,
+        alpha_ladder=config.alpha_ladder(),
+        kind=config.prune_kind,
+        saturate=saturate,
+    )
+
+    slot_valid = jax.lax.broadcasted_iota(jnp.int32, (b, degree), 1) < found[:, None]
+    safe = jnp.minimum(sel_pos, c - 1)
+    out_ids = jnp.where(slot_valid, jnp.take_along_axis(pool_ids, safe, axis=1), -1)
+    out_d = jnp.where(slot_valid, jnp.take_along_axis(pool_d, safe, axis=1), _INF)
+    return PruneResult(ids=out_ids, dists=out_d, count=found)

@@ -1,0 +1,107 @@
+"""Device-resident graph index state.
+
+The reference stores vectors/adjacency behind a `DataProvider` (slot stores,
+epoch reclamation, per-node locks — `diskann-inmem/src/{store,epoch,neighbors}.rs`).
+On TPU the equivalent is a *functional* state pytree of fixed-capacity dense
+arrays updated by batched pure kernels — versioned buffers instead of EBR:
+
+- ``vectors  [cap, d]``  vector data (dtype configurable),
+- ``sq_norms [cap]``     precomputed squared norms (L2/cosine matmul form),
+- ``adjacency[cap, R_slack] i32``  fixed-degree padded graph, -1 = empty,
+- ``degrees  [cap] i32`` live out-degree per node,
+- ``valid    [cap] bool`` liveness bitmap (False = deleted / never written).
+
+Capacity is static for XLA; the facade grows it by reallocating (amortized,
+like the reference's slot store growth).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diskann_tpu.ops.distance import squared_norms
+
+
+class GraphArrays(NamedTuple):
+    vectors: jax.Array    # [cap, d]
+    sq_norms: jax.Array   # [cap] f32
+    adjacency: jax.Array  # [cap, R_slack] i32
+    degrees: jax.Array    # [cap] i32
+    valid: jax.Array      # [cap] bool
+    vec_sum: jax.Array    # [d] f32 running sum of live vectors (medoid upkeep)
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def max_degree_slack(self) -> int:
+        return self.adjacency.shape[1]
+
+
+def alloc(capacity: int, dim: int, r_slack: int, dtype=jnp.float32) -> GraphArrays:
+    return GraphArrays(
+        vectors=jnp.zeros((capacity, dim), dtype=dtype),
+        sq_norms=jnp.zeros((capacity,), jnp.float32),
+        adjacency=jnp.full((capacity, r_slack), -1, jnp.int32),
+        degrees=jnp.zeros((capacity,), jnp.int32),
+        valid=jnp.zeros((capacity,), jnp.bool_),
+        vec_sum=jnp.zeros((dim,), jnp.float32),
+    )
+
+
+def grow(state: GraphArrays, new_capacity: int) -> GraphArrays:
+    cap = state.capacity
+    assert new_capacity >= cap
+    extra = new_capacity - cap
+    return GraphArrays(
+        vectors=jnp.pad(state.vectors, ((0, extra), (0, 0))),
+        sq_norms=jnp.pad(state.sq_norms, (0, extra)),
+        adjacency=jnp.pad(state.adjacency, ((0, extra), (0, 0)), constant_values=-1),
+        degrees=jnp.pad(state.degrees, (0, extra)),
+        valid=jnp.pad(state.valid, (0, extra)),
+        vec_sum=state.vec_sum,
+    )
+
+
+def set_vectors(state: GraphArrays, offset, vecs, row_valid=None) -> GraphArrays:
+    """Write a contiguous block of vectors at ``offset`` (phase 1 of
+    multi_insert: `index.rs:482-534` "Set Elements").
+
+    ``row_valid`` masks ragged/padded batch rows: masked rows are written as
+    zeros and not marked live.
+    """
+    vecs = vecs.astype(state.vectors.dtype)
+    m = vecs.shape[0]
+    if row_valid is None:
+        row_valid = jnp.ones((m,), jnp.bool_)
+    vecs = jnp.where(row_valid[:, None], vecs, 0)
+    sq = squared_norms(vecs)
+    return state._replace(
+        vectors=jax.lax.dynamic_update_slice_in_dim(state.vectors, vecs, offset, 0),
+        sq_norms=jax.lax.dynamic_update_slice_in_dim(state.sq_norms, sq, offset, 0),
+        valid=jax.lax.dynamic_update_slice_in_dim(state.valid, row_valid, offset, 0),
+        vec_sum=state.vec_sum + jnp.sum(vecs.astype(jnp.float32), axis=0),
+    )
+
+
+def medoid(state: GraphArrays, n) -> jax.Array:
+    """Index of the live vector closest to the running mean.
+
+    Replaces the reference's Medoid start-point strategy
+    (`diskann/src/graph/start_point.rs:19-41`, `diskann-utils/src/sampling`):
+    one matvec + argmin on device instead of a sampled host scan.
+    """
+    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
+    mean = state.vec_sum / denom
+    dots = state.vectors.astype(jnp.float32) @ mean
+    d2 = state.sq_norms - 2.0 * dots  # + |mean|^2 constant, irrelevant to argmin
+    d2 = jnp.where(state.valid, d2, jnp.inf)
+    return jnp.argmin(d2).astype(jnp.int32)

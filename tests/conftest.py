@@ -1,0 +1,30 @@
+"""Test config: run all tests on CPU with 8 virtual devices so multi-chip
+sharding paths compile and execute without TPU hardware (mirrors the
+reference's strategy of testing SIMD paths under an emulator,
+`.github/workflows/ci.yml:315-421` / Intel SDE).
+
+Note: the ambient environment tunnels JAX to a real TPU (JAX_PLATFORMS=axon)
+and a sitecustomize imports jax at interpreter boot, so plain env-var edits
+here are too late — `jax.config.update` is the reliable override.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xD15CA)
