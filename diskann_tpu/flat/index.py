@@ -18,10 +18,9 @@ from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
 from diskann_tpu.ops.topk import merge_sorted
 
 
-@partial(jax.jit, static_argnames=("metric", "k", "chunk"))
-def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: int):
+@partial(jax.jit, static_argnames=("metric", "k", "chunk", "n"))
+def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: int, n: int):
     b = queries.shape[0]
-    n = vectors.shape[0]
     q_sq = squared_norms(queries) if metric.needs_norms else None
 
     num_chunks = (n + chunk - 1) // chunk
@@ -71,5 +70,7 @@ class FlatIndex:
         if pad:
             vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
             sq = jnp.pad(sq, (0, pad))
-        d, i = _flat_search(queries, vectors, sq, metric=self.metric, k=k, chunk=chunk)
+        d, i = _flat_search(
+            queries, vectors, sq, metric=self.metric, k=k, chunk=chunk, n=self.n
+        )
         return np.asarray(d), np.asarray(i)

@@ -78,7 +78,15 @@ def _append_rows(buf: jax.Array, n: jax.Array, vals: jax.Array, valid: jax.Array
 
 @partial(
     jax.jit,
-    static_argnames=("metric", "l_search", "beam_width", "max_hops", "record_pool"),
+    static_argnames=(
+        "metric",
+        "l_search",
+        "beam_width",
+        "max_hops",
+        "history_capacity",
+        "pool_capacity",
+        "record_pool",
+    ),
 )
 def beam_search(
     vectors: jax.Array,        # [N, d]

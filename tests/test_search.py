@@ -1,0 +1,123 @@
+"""Beam-search tests against the scalar oracle and synthetic lattices
+(mirrors `diskann/src/graph/test/synthetic.rs` grid cases)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diskann_tpu.graph.search import beam_search
+from diskann_tpu.ops.distance import Metric, squared_norms
+
+from reference_impl import greedy_search
+
+
+def random_graph(rng, n, r):
+    """A random r-regular-ish directed graph with no self loops."""
+    adj = np.full((n, r), -1, np.int32)
+    for i in range(n):
+        choices = rng.choice(n - 1, size=min(r, n - 1), replace=False)
+        choices[choices >= i] += 1
+        adj[i, : len(choices)] = choices
+    return adj
+
+
+def run_beam(vectors, adj, start, queries, l, w=1):
+    v = jnp.asarray(vectors)
+    return beam_search(
+        v,
+        squared_norms(v),
+        jnp.asarray(adj),
+        jnp.asarray(start, jnp.int32),
+        jnp.asarray(queries),
+        metric=Metric.L2,
+        l_search=l,
+        beam_width=w,
+    )
+
+
+def test_matches_scalar_oracle(rng):
+    n, d, r, l = 200, 8, 6, 10
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = random_graph(rng, n, r)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    res = run_beam(vectors, adj, [0], queries, l)
+    for b in range(4):
+        want, want_cmps = greedy_search(vectors, adj, [0], queries[b], l)
+        got = [int(i) for i in res.ids[b] if i >= 0]
+        assert got == want, (b, got, want)
+        assert int(res.cmps[b]) == want_cmps
+
+
+def test_fully_connected_graph_is_exact(rng):
+    # every node points at all others -> search with L>=n is exhaustive
+    n, d = 60, 4
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = np.array(
+        [[j for j in range(n) if j != i] for i in range(n)], dtype=np.int32
+    )
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    res = run_beam(vectors, adj, [0], queries, l=n)
+    full = ((queries[:, None, :] - vectors[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(full, axis=1)
+    for b in range(3):
+        got = [int(i) for i in res.ids[b] if i >= 0]
+        assert got[:10] == list(want[b][:10])
+
+
+def test_chain_graph_walks_to_target(rng):
+    # 1-D lattice, chain adjacency: greedy must walk the line to the nearest
+    n = 50
+    vectors = np.arange(n, dtype=np.float32)[:, None]
+    adj = np.full((n, 2), -1, np.int32)
+    adj[:, 0] = np.arange(n) - 1
+    adj[:, 1] = np.arange(n) + 1
+    adj[0, 0] = -1
+    adj[n - 1, 1] = -1
+    queries = np.array([[37.2], [3.9], [0.0]], np.float32)
+    res = run_beam(vectors, adj, [25], queries, l=4)
+    assert int(res.ids[0, 0]) == 37
+    assert int(res.ids[1, 0]) == 4
+    assert int(res.ids[2, 0]) == 0
+
+
+def test_beam_width_preserves_results(rng):
+    n, d, r = 300, 8, 8
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = random_graph(rng, n, r)
+    queries = rng.standard_normal((5, d)).astype(np.float32)
+    r1 = run_beam(vectors, adj, [0], queries, l=16, w=1)
+    r4 = run_beam(vectors, adj, [0], queries, l=16, w=4)
+    # Wider beams explore a different (usually larger) node set; quality must
+    # stay comparable though individual queries may differ slightly.
+    d1 = np.asarray(r1.dists[:, 0])
+    d4 = np.asarray(r4.dists[:, 0])
+    assert d4.mean() <= d1.mean() * 1.25 + 1e-5
+    assert np.asarray(r4.hops).sum() >= np.asarray(r1.hops).sum()
+
+
+def test_record_pool_collects_expanded(rng):
+    n, d, r, l = 100, 4, 5, 8
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = random_graph(rng, n, r)
+    queries = rng.standard_normal((2, d)).astype(np.float32)
+    v = jnp.asarray(vectors)
+    res = beam_search(
+        v, squared_norms(v), jnp.asarray(adj), jnp.asarray([0], jnp.int32),
+        jnp.asarray(queries), metric=Metric.L2, l_search=l,
+        record_pool=True, pool_capacity=256,
+    )
+    for b in range(2):
+        pn = int(res.pool_n[b])
+        assert pn == int(res.hops[b])
+        pool = np.asarray(res.pool_i[b][:pn])
+        assert (pool >= 0).all()
+        assert len(set(pool.tolist())) == pn  # each node expanded once
+
+
+def test_invalid_start_means_empty_result(rng):
+    vectors = rng.standard_normal((10, 4)).astype(np.float32)
+    adj = random_graph(rng, 10, 3)
+    queries = rng.standard_normal((2, 4)).astype(np.float32)
+    res = run_beam(vectors, adj, [-1], queries, l=4)
+    assert (np.asarray(res.ids) == -1).all()
+    assert (np.asarray(res.cmps) == 0).all()
