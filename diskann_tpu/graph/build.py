@@ -51,7 +51,14 @@ def chunked_robust_prune(
     """RobustPrune M pools in row-chunks so the [chunk, C, d] vector gather and
     [chunk, C, C] pairwise tensor stay within a memory budget."""
     m, c = cand_ids.shape
-    assert m % chunk == 0, (m, chunk)
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        p_vecs = jnp.pad(p_vecs, ((0, pad), (0, 0)))
+        cand_ids = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+        cand_d = jnp.pad(cand_d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        self_ids = jnp.pad(self_ids, (0, pad), constant_values=-1)
+        m += pad
     n = vectors.shape[0]
 
     def one(args):
@@ -68,11 +75,14 @@ def chunked_robust_prune(
             self_ids.reshape(m // chunk, chunk),
         ),
     )
-    return (
+    out = (
         res.ids.reshape(m, degree),
         res.dists.reshape(m, degree),
         res.count.reshape(m),
     )
+    if pad:
+        out = tuple(o[: m - pad] for o in out)
+    return out
 
 
 class InsertStats(NamedTuple):
