@@ -1,0 +1,129 @@
+"""Scorers: the distance-computation plug-in point of the search loop.
+
+This is the TPU analogue of the reference's provider/accessor glue
+(`diskann/src/provider.rs:122`, `diskann/src/graph/glue.rs:125-254`): the
+graph algorithm never touches storage directly — it asks an accessor to
+expand a beam and score candidates.  Here a scorer is a `(ScorerDef, data)`
+pair: `ScorerDef` holds jit-static callables, `data` holds the device arrays.
+
+- ``full_precision_scorer``: gathers raw vectors and runs the batched MXU
+  distance contraction (in-memory full-precision provider,
+  `diskann-providers/src/model/graph/provider/async_/inmem/full_precision.rs`).
+- ``pq_scorer``: gathers compact PQ codes and scores via per-query ADC
+  lookup tables (`FixedChunkPQTable::direct_distance_impl`,
+  `diskann-providers/src/model/pq/fixed_chunk_pq_table.rs:35`) — the
+  traversal path of the SSD tier (`diskann-disk/.../disk_provider.rs:634`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
+
+
+@dataclasses.dataclass(frozen=True)
+class ScorerDef:
+    """Static half of a scorer (hashable; safe as a jit static argument).
+
+    prep(data, queries) -> q_ctx            per-query precomputation
+    score(data, q_ctx, ids, valid) -> d     [B, C] f32 distances (inf if invalid)
+    """
+
+    name: str
+    prep: Callable[[Any, jax.Array], Any]
+    score: Callable[[Any, Any, jax.Array, jax.Array], jax.Array]
+
+
+# ---------------------------------------------------------------- full precision
+def _fp_prep(metric: Metric):
+    def prep(data, queries):
+        q = queries
+        qsq = squared_norms(q) if metric.needs_norms else jnp.zeros(
+            (q.shape[0],), jnp.float32
+        )
+        return (q, qsq)
+
+    return prep
+
+
+def _fp_score(metric: Metric):
+    def score(data, q_ctx, ids, valid):
+        vectors, sq_norms = data
+        q, qsq = q_ctx
+        n = vectors.shape[0]
+        safe = jnp.where(valid, ids, 0)
+        cvec = vectors[jnp.clip(safe, 0, n - 1)]
+        csq = sq_norms[jnp.clip(safe, 0, n - 1)]
+        d = distance_to_set(q, cvec, metric, x_sq_norms=csq, q_sq_norms=qsq)
+        return jnp.where(valid, d, jnp.inf)
+
+    return score
+
+
+_FP_DEFS = {m: ScorerDef(f"fp:{m.value}", _fp_prep(m), _fp_score(m)) for m in Metric}
+
+
+def full_precision_scorer(vectors, sq_norms, metric: Metric):
+    return _FP_DEFS[metric], (vectors, sq_norms)
+
+
+# ------------------------------------------------------------------------- PQ
+def _pq_prep(metric: Metric):
+    def prep(data, queries):
+        codes, pivots = data            # [N, m] int, [m, k, ds]
+        m, k, ds = pivots.shape
+        b = queries.shape[0]
+        qc = queries[:, : m * ds].reshape(b, m, ds)
+        # per-chunk distance tables: [B, m, k]
+        if metric == Metric.L2:
+            psq = jnp.sum(pivots.astype(jnp.float32) ** 2, axis=-1)  # [m, k]
+            dots = jnp.einsum(
+                "bmd,mkd->bmk", qc.astype(jnp.float32),
+                pivots.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            qsq = jnp.sum(qc.astype(jnp.float32) ** 2, axis=-1)      # [B, m]
+            lut = qsq[:, :, None] + psq[None] - 2.0 * dots
+        else:
+            dots = jnp.einsum(
+                "bmd,mkd->bmk", qc.astype(jnp.float32),
+                pivots.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            lut = -dots  # InnerProduct (cosine handled by normalized pivots)
+        return lut.reshape(b, m * k)
+
+    return prep
+
+
+def _pq_score(metric: Metric):
+    del metric
+
+    def score(data, q_ctx, ids, valid):
+        codes, pivots = data
+        lut = q_ctx                      # [B, m*k]
+        m, k, _ = pivots.shape
+        n = codes.shape[0]
+        safe = jnp.where(valid, ids, 0)
+        c = codes[jnp.clip(safe, 0, n - 1)].astype(jnp.int32)   # [B, C, m]
+        flat_idx = c + jnp.arange(m, dtype=jnp.int32)[None, None, :] * k
+        b, cc, _ = flat_idx.shape
+        d = jnp.take_along_axis(
+            lut[:, None, :], flat_idx.reshape(b, cc * m)[:, None, :], axis=2
+        ).reshape(b, cc, m).sum(axis=-1)
+        return jnp.where(valid, d, jnp.inf)
+
+    return score
+
+
+_PQ_DEFS = {m: ScorerDef(f"pq:{m.value}", _pq_prep(m), _pq_score(m)) for m in Metric}
+
+
+def pq_scorer(codes, pivots, metric: Metric):
+    """codes: [N, m] integer PQ codes; pivots: [m, k, ds] codebooks."""
+    return _PQ_DEFS[metric], (codes, pivots)

@@ -16,8 +16,9 @@ Per hop, for B queries at once:
   3. dedup            — one broadcasted equality against a bounded per-query
      visited buffer (replaces the `scratch.visited` hash set,
      `graph/search/scratch.rs:31`) plus a sort-based intra-hop dedup;
-  4. score            — a single ``[B, C] x [C, d]`` batched contraction on
-     the MXU (replaces one-pair-at-a-time SIMD in `diskann-vector`);
+  4. score            — pluggable `Scorer` (full precision = one ``[B, C] x
+     [C, d]`` MXU contraction; PQ = ADC table lookups), the accessor
+     boundary of the reference (`glue.rs:210` expand_beam);
   5. merge            — one multi-operand XLA sort merges candidates into the
      best-lists.
 
@@ -34,7 +35,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
+from diskann_tpu.graph.scorers import ScorerDef, full_precision_scorer
+from diskann_tpu.ops.distance import Metric
 from diskann_tpu.ops.topk import mask_duplicates_sorted
 
 # Ids are int32; -1 marks an empty/padded slot, INT32_MAX is used as a
@@ -79,7 +81,7 @@ def _append_rows(buf: jax.Array, n: jax.Array, vals: jax.Array, valid: jax.Array
 @partial(
     jax.jit,
     static_argnames=(
-        "metric",
+        "scorer_def",
         "l_search",
         "beam_width",
         "max_hops",
@@ -88,14 +90,13 @@ def _append_rows(buf: jax.Array, n: jax.Array, vals: jax.Array, valid: jax.Array
         "record_pool",
     ),
 )
-def beam_search(
-    vectors: jax.Array,        # [N, d]
-    vec_sq_norms: jax.Array,   # [N]
+def beam_search_scored(
+    scorer_def: ScorerDef,
+    scorer_data,
     adjacency: jax.Array,      # [N, R] i32, -1 padded
     start_ids: jax.Array,      # [S] i32
     queries: jax.Array,        # [B, d]
     *,
-    metric: Metric,
     l_search: int,
     beam_width: int = 1,
     max_hops: int = 512,
@@ -104,9 +105,9 @@ def beam_search(
     record_pool: bool = False,
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
 ) -> SearchResult:
-    """Batched greedy beam search over a padded-adjacency Vamana graph."""
-    b, d = queries.shape
-    n = vectors.shape[0]
+    """Batched greedy beam search with a pluggable distance scorer."""
+    b = queries.shape[0]
+    n = adjacency.shape[0]
     r = adjacency.shape[1]
     s = start_ids.shape[0]
     w = beam_width
@@ -114,18 +115,12 @@ def beam_search(
     h = history_capacity if history_capacity > 0 else max(256, 4 * l + 2 * r)
     p = pool_capacity if record_pool else 1
 
-    q_sq = squared_norms(queries) if metric.needs_norms else jnp.zeros((b,), jnp.float32)
+    q_ctx = scorer_def.prep(scorer_data, queries)
 
     # ---- init: score start points (reference `start_point_distances`) ----
-    svec = vectors[jnp.clip(start_ids, 0, n - 1)]
-    ssq = vec_sq_norms[jnp.clip(start_ids, 0, n - 1)]
-    sd = distance_to_set(
-        queries, jnp.broadcast_to(svec, (b, s, d)), metric,
-        x_sq_norms=jnp.broadcast_to(ssq, (b, s)), q_sq_norms=q_sq,
-    )
     sid = jnp.broadcast_to(start_ids[None, :], (b, s)).astype(jnp.int32)
     svalid = sid >= 0
-    sd = jnp.where(svalid, sd, jnp.inf)
+    sd = scorer_def.score(scorer_data, q_ctx, sid, svalid)
 
     pad = max(l - s, 0)
     init_d = jnp.pad(sd, ((0, 0), (0, pad)), constant_values=jnp.inf)
@@ -199,12 +194,8 @@ def beam_search(
 
         hist, hist_n = _append_rows(st.hist, st.hist_n, cand, fresh)
 
-        # ---- 4. score fresh candidates on the MXU ----
-        safe_cand = jnp.where(fresh, cand, 0)
-        cvec = vectors[safe_cand]                                 # [B, W*R, d]
-        csq = vec_sq_norms[safe_cand]
-        cd = distance_to_set(queries, cvec, metric, x_sq_norms=csq, q_sq_norms=q_sq)
-        cd = jnp.where(fresh, cd, jnp.inf)
+        # ---- 4. score fresh candidates (scorer = accessor boundary) ----
+        cd = scorer_def.score(scorer_data, q_ctx, cand, fresh)
         cand_ids = jnp.where(fresh, cand, -1)
 
         # ---- 5. merge into best lists ----
@@ -240,4 +231,34 @@ def beam_search(
         pool_d=st.pool_d,
         pool_i=st.pool_i,
         pool_n=st.pool_n,
+    )
+
+
+def beam_search(
+    vectors: jax.Array,        # [N, d]
+    vec_sq_norms: jax.Array,   # [N]
+    adjacency: jax.Array,      # [N, R] i32, -1 padded
+    start_ids: jax.Array,      # [S] i32
+    queries: jax.Array,        # [B, d]
+    *,
+    metric: Metric,
+    l_search: int,
+    beam_width: int = 1,
+    max_hops: int = 512,
+    history_capacity: int = 0,
+    pool_capacity: int = 1,
+    record_pool: bool = False,
+    query_valid: jax.Array | None = None,
+) -> SearchResult:
+    """Full-precision beam search (the in-memory provider configuration)."""
+    sdef, sdata = full_precision_scorer(vectors, vec_sq_norms, metric)
+    return beam_search_scored(
+        sdef, sdata, adjacency, start_ids, queries,
+        l_search=l_search,
+        beam_width=beam_width,
+        max_hops=max_hops,
+        history_capacity=history_capacity,
+        pool_capacity=pool_capacity,
+        record_pool=record_pool,
+        query_valid=query_valid,
     )

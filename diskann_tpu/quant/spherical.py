@@ -1,0 +1,66 @@
+"""Spherical (RaBitQ-style) quantizer: rotation + unit-sphere codes.
+
+Reference: `diskann-quantization/src/spherical/quantizer.rs:43` (train `:225`)
+— vectors are rotated by a random distance-preserving transform
+(`src/algorithms/hadamard.rs`, `transforms/*`), projected to the unit
+sphere, and quantized at 1-8 bits/dim; the vector norm is stored separately
+so distances reconstruct as ``|x| * <u_hat, q_rot>`` corrections.
+
+TPU form: the rotation is a dense orthogonal matmul (MXU; a [d, d] matmul is
+cheaper than a permuted FWHT at these dims), quantization is elementwise."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from diskann_tpu.ops.distance import squared_norms
+
+
+class SphericalCodes(NamedTuple):
+    codes: jax.Array    # [N, d] uintN stored as uint8
+    norms: jax.Array    # [N] f32 original vector norms
+    cscale: jax.Array   # [N] f32 per-vector code scale (max |u_i|)
+
+
+class SphericalQuantizer(NamedTuple):
+    rotation: jax.Array  # [d, d] orthogonal
+    n_bits: int = 8
+
+    @property
+    def levels(self) -> int:
+        return (1 << int(self.n_bits)) - 1
+
+    def encode(self, data) -> SphericalCodes:
+        return _sph_encode(self.rotation, jnp.asarray(data), self.levels)
+
+    def decode(self, sc: SphericalCodes) -> jax.Array:
+        u = (sc.codes.astype(jnp.float32) / self.levels * 2.0 - 1.0) * sc.cscale[:, None]
+        y = u * sc.norms[:, None]
+        return y @ self.rotation.T
+
+    def rotate_query(self, q) -> jax.Array:
+        return jnp.asarray(q, jnp.float32) @ self.rotation
+
+
+def train_spherical(key: jax.Array, dim: int, n_bits: int = 8) -> SphericalQuantizer:
+    """Random orthogonal rotation via QR of a gaussian matrix (the matmul
+    equivalent of the reference's padded-Hadamard transform)."""
+    g = jax.random.normal(key, (dim, dim), jnp.float32)
+    q, r = jnp.linalg.qr(g)
+    # fix signs for a uniform rotation
+    q = q * jnp.sign(jnp.diag(r))[None, :]
+    return SphericalQuantizer(rotation=q, n_bits=n_bits)
+
+
+@jax.jit
+def _sph_encode(rotation, data, levels):
+    y = data.astype(jnp.float32) @ rotation
+    norms = jnp.sqrt(jnp.maximum(squared_norms(y), 1e-30))
+    u = y / norms[:, None]
+    cscale = jnp.maximum(jnp.abs(u).max(axis=1), 1e-12)
+    t = (u / cscale[:, None] + 1.0) * 0.5 * levels
+    codes = jnp.clip(jnp.round(t), 0, levels).astype(jnp.uint8)
+    return SphericalCodes(codes=codes, norms=norms, cscale=cscale)

@@ -1,0 +1,113 @@
+"""Quantization stack tests: k-means convergence, PQ reconstruction + ADC
+search, scalar/minmax/spherical/binary round trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diskann_tpu.ops.distance import Metric
+from diskann_tpu.quant import (
+    BinaryQuantizer,
+    MinMaxQuantizer,
+    PQ,
+    kmeans,
+    train_pq,
+    train_scalar,
+    train_spherical,
+)
+from diskann_tpu.graph.scorers import pq_scorer
+
+
+def test_kmeans_recovers_clusters(rng):
+    centers = rng.standard_normal((8, 4)).astype(np.float32) * 5
+    x = np.concatenate(
+        [c + 0.05 * rng.standard_normal((50, 4)).astype(np.float32) for c in centers]
+    )
+    cent, assign = kmeans(jax.random.key(0), x, 8, iters=15)
+    cent = np.asarray(cent)
+    # every true center has a learned centroid nearby
+    d = ((centers[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    assert (d.min(axis=1) < 0.05).all()
+    # points in the same true cluster share a label
+    a = np.asarray(assign).reshape(8, 50)
+    assert all(len(set(row.tolist())) == 1 for row in a)
+
+
+def test_pq_reconstruction_error(rng):
+    x = rng.standard_normal((2000, 32)).astype(np.float32)
+    pq = train_pq(jax.random.key(1), x, n_chunks=8, n_centers=64, iters=8)
+    codes = pq.encode(x)
+    assert codes.shape == (2000, 8)
+    rec = np.asarray(pq.decode(codes))
+    rel = np.linalg.norm(rec - x) / np.linalg.norm(x)
+    assert rel < 0.6, rel  # 64 centers x 8 chunks on random data
+    # PQ of the training data must beat random codes by a wide margin
+    rand_rec = np.asarray(pq.decode(rng.integers(0, 64, size=codes.shape)))
+    rand_rel = np.linalg.norm(rand_rec - x) / np.linalg.norm(x)
+    assert rel < 0.7 * rand_rel
+
+
+def test_pq_adc_matches_decoded_distance(rng):
+    """ADC (LUT) distances == distances to the decoded candidates."""
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    pq = train_pq(jax.random.key(2), x, n_chunks=4, n_centers=32, iters=6)
+    codes = pq.encode(x)
+    sdef, sdata = pq_scorer(codes, pq.pivots, Metric.L2)
+    ids = jnp.asarray(rng.integers(0, 500, size=(4, 10)).astype(np.int32))
+    q_ctx = sdef.prep(sdata, jnp.asarray(q))
+    got = np.asarray(sdef.score(sdata, q_ctx, ids, jnp.ones((4, 10), bool)))
+    rec = np.asarray(pq.decode(codes))
+    for b in range(4):
+        want = ((q[b][None] - rec[np.asarray(ids)[b]]) ** 2).sum(-1)
+        np.testing.assert_allclose(got[b], want, rtol=2e-3, atol=2e-3)
+
+
+def test_scalar_roundtrip(rng):
+    x = rng.standard_normal((300, 24)).astype(np.float32)
+    sq = train_scalar(x, n_bits=8, sigma=3.0)
+    codes = sq.encode(x)
+    assert codes.dtype == jnp.uint8
+    rec = np.asarray(sq.decode(codes))
+    err = np.abs(rec - np.clip(x, np.asarray(sq.bias), None)).max()
+    # quantization error bounded by ~step size within the clipped range
+    step = np.asarray(sq.scale).max()
+    inside = np.abs(x - x.mean(0)) < 2.9 * x.std(0)
+    assert np.abs((rec - x))[inside].max() <= step * 1.5
+
+
+def test_minmax_roundtrip(rng):
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    mm = MinMaxQuantizer(n_bits=8)
+    codes, lo, step = mm.encode(x)
+    rec = np.asarray(mm.decode(codes, lo, step))
+    assert np.abs(rec - x).max() <= np.asarray(step).max() * 0.51 + 1e-6
+
+
+def test_spherical_preserves_distances(rng):
+    x = rng.standard_normal((200, 32)).astype(np.float32)
+    sph = train_spherical(jax.random.key(3), 32, n_bits=8)
+    sc = sph.encode(x)
+    rec = np.asarray(sph.decode(sc))
+    rel = np.linalg.norm(rec - x) / np.linalg.norm(x)
+    assert rel < 0.02, rel  # 8-bit spherical is near-lossless
+    # rotation is orthogonal
+    r = np.asarray(sph.rotation)
+    np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
+
+
+def test_binary_hamming(rng):
+    x = rng.standard_normal((50, 40)).astype(np.float32)
+    bq = BinaryQuantizer(dim=40)
+    codes = bq.encode(x)
+    assert codes.shape == (50, 2)
+    h = np.asarray(bq.hamming(codes, codes))
+    # diagonal zero, symmetric, bounded by dim
+    assert (np.diag(h) == 0).all()
+    assert (h == h.T).all()
+    assert h.max() <= 40
+    # oracle check on a few pairs
+    signs = x >= 0
+    for i, j in [(0, 1), (3, 7), (10, 49)]:
+        assert h[i, j] == (signs[i] != signs[j]).sum()
