@@ -96,7 +96,8 @@ class InsertStats(NamedTuple):
 )
 def insert_batch(
     state: GraphArrays,
-    n,                      # i32 scalar — points already in the index
+    slot_ids,               # [M] i32 — target slots (contiguous for bulk build,
+                            # freelist-recycled for streaming inserts)
     new_vecs: jax.Array,    # [M, d] f32
     row_valid: jax.Array,   # [M] bool — padding mask for ragged final batches
     start_ids: jax.Array,   # [S] i32
@@ -106,7 +107,7 @@ def insert_batch(
     prune_chunk: int = 128,
     backedge_src_cap: int = 64,
 ):
-    """Insert a batch of M new points with ids n..n+M-1. Returns (state, stats)."""
+    """Insert a batch of M new points at ``slot_ids``. Returns (state, stats)."""
     m, d = new_vecs.shape
     r = config.max_degree
     r_slack = state.max_degree_slack
@@ -114,10 +115,10 @@ def insert_batch(
     metric = config.metric
 
     new_vecs = jnp.where(row_valid[:, None], new_vecs, 0.0)
-    new_ids = n + jnp.arange(m, dtype=jnp.int32)
+    new_ids = jnp.where(row_valid, slot_ids, -1).astype(jnp.int32)
 
     # ---------------- phase 1: set elements ----------------
-    state = set_vectors(state, n, new_vecs, row_valid=row_valid)
+    state = set_vectors(state, slot_ids, new_vecs, row_valid=row_valid)
 
     # ---------------- phase 2: candidate generation ----------------
     res = beam_search(
@@ -164,8 +165,9 @@ def insert_batch(
 
     # ---------------- phase 3a: commit out-edges ----------------
     out_rows = jnp.pad(out_ids, ((0, 0), (0, r_slack - r)), constant_values=-1)
-    adjacency = jax.lax.dynamic_update_slice(state.adjacency, out_rows, (n, 0))
-    degrees = jax.lax.dynamic_update_slice_in_dim(state.degrees, out_n, n, axis=0)
+    w_ids = jnp.where(row_valid, slot_ids, cap)
+    adjacency = state.adjacency.at[w_ids].set(out_rows, mode="drop")
+    degrees = state.degrees.at[w_ids].set(out_n, mode="drop")
     state = state._replace(adjacency=adjacency, degrees=degrees)
 
     # ---------------- phase 3b: backedges ----------------

@@ -1,0 +1,150 @@
+"""Streaming deletes: IP-DiskANN in-place delete + Fresh-DiskANN consolidation.
+
+Reference: `DiskANNIndex::inplace_delete` (`diskann/src/graph/index.rs:1527`,
+arXiv:2502.13826) — for each deleted node: find its in-neighbors, patch their
+adjacency lists (remove the deleted id, add replacement candidates drawn from
+the deleted node's own out-neighbors), RobustPrune any overfull list, then
+drop the deleted node's row (`drop_adj_list`, index.rs:1060).  Background
+cleanup (`drop_deleted_neighbors` / `consolidate_vector`, index.rs:1756,1819)
+sweeps remaining dangling references.
+
+TPU re-design: deletion state is a liveness bitmap; in-neighbor discovery is
+one vectorized `deleted[adjacency]` gather over the whole graph instead of
+per-node reverse maps; affected rows are patched as one batched
+remove+union+prune kernel.  The replacement policy is the reference's
+``OneHop`` method (index.rs:1240 `graph/misc.rs:27`): candidates come from
+the out-lists of the deleted entries found in each row.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskann_tpu.graph.build import chunked_robust_prune
+from diskann_tpu.graph.config import GraphConfig
+from diskann_tpu.graph.state import GraphArrays
+from diskann_tpu.ops.distance import pairwise_distance
+
+
+@jax.jit
+def mark_deleted(state: GraphArrays, ids: jax.Array) -> GraphArrays:
+    """Soft-delete: clear liveness + update the medoid running sum.
+    (`Delete::delete`, `diskann/src/provider.rs:158` soft path.)"""
+    cap = state.capacity
+    safe = jnp.clip(ids, 0, cap - 1)
+    was_valid = state.valid[safe] & (ids >= 0)
+    removed = jnp.where(
+        was_valid[:, None], state.vectors[safe].astype(jnp.float32), 0.0
+    ).sum(axis=0)
+    return state._replace(
+        valid=state.valid.at[jnp.where(ids >= 0, ids, cap)].set(False, mode="drop"),
+        vec_sum=state.vec_sum - removed,
+    )
+
+
+@jax.jit
+def rows_referencing_deleted(state: GraphArrays) -> jax.Array:
+    """[cap] bool — rows whose adjacency list contains a deleted id."""
+    cap = state.capacity
+    entries = state.adjacency
+    dead = (~state.valid[jnp.clip(entries, 0, cap - 1)]) & (entries >= 0)
+    return dead.any(axis=1) & state.valid
+
+
+@partial(jax.jit, static_argnames=("config", "max_dead", "prune_chunk"))
+def patch_rows(
+    state: GraphArrays,
+    rows: jax.Array,          # [A] i32 row ids to patch (cap = padding)
+    config: GraphConfig,
+    *,
+    max_dead: int = 4,
+    prune_chunk: int = 128,
+) -> GraphArrays:
+    """Patch rows that reference deleted nodes (one batched OneHop repair).
+
+    For each row: keep live entries; pull replacement candidates from the
+    out-lists of up to ``max_dead`` deleted entries; RobustPrune the union
+    back to R if it exceeds the slack capacity, else keep the union directly
+    (matching `inplace_delete_inner`'s patch-then-maybe-prune,
+    index.rs:1558)."""
+    cap = state.capacity
+    r_slack = state.max_degree_slack
+    r = config.max_degree
+    a = rows.shape[0]
+
+    row_ok = (rows >= 0) & (rows < cap)
+    safe_rows = jnp.clip(rows, 0, cap - 1)
+    adj = state.adjacency[safe_rows]                              # [A, Rs]
+    live = state.valid[jnp.clip(adj, 0, cap - 1)] & (adj >= 0)
+    kept = jnp.where(live, adj, -1)
+
+    # up to max_dead deleted entries per row, compacted by rank scatter
+    deadm = (~state.valid[jnp.clip(adj, 0, cap - 1)]) & (adj >= 0)
+    drank = jnp.cumsum(deadm.astype(jnp.int32), axis=1) - 1
+    dslot = jnp.where(deadm & (drank < max_dead), drank, max_dead)
+    dead_ids = jnp.full((a, max_dead), -1, jnp.int32)
+    dead_ids = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(
+        dead_ids, dslot, adj
+    )
+    # replacement candidates: out-lists of the dead entries (OneHop)
+    repl = state.adjacency[jnp.clip(dead_ids, 0, cap - 1)]        # [A, md, Rs]
+    repl = jnp.where((dead_ids >= 0)[:, :, None], repl, -1).reshape(a, -1)
+    repl_live = state.valid[jnp.clip(repl, 0, cap - 1)] & (repl >= 0)
+    # a replacement must not be the row itself
+    repl = jnp.where(repl_live & (repl != rows[:, None]), repl, -1)
+
+    pool_ids = jnp.concatenate([kept, repl], axis=1)              # [A, C]
+    p_vec = state.vectors[safe_rows]
+    pv = state.vectors[jnp.clip(pool_ids, 0, cap - 1)]
+    pool_d = pairwise_distance(p_vec[:, None, :], pv, config.metric)[:, 0, :]
+    pool_d = jnp.where(pool_ids >= 0, pool_d, jnp.inf)
+
+    new_ids, _, new_n = chunked_robust_prune(
+        state.vectors, p_vec, pool_ids, pool_d,
+        jnp.where(row_ok, rows, -1), config,
+        degree=r, chunk=prune_chunk,
+    )
+    new_rows = jnp.pad(new_ids, ((0, 0), (0, r_slack - r)), constant_values=-1)
+
+    w = jnp.where(row_ok, rows, cap)
+    adjacency = state.adjacency.at[w].set(new_rows, mode="drop")
+    degrees = state.degrees.at[w].set(new_n, mode="drop")
+    return state._replace(adjacency=adjacency, degrees=degrees)
+
+
+@jax.jit
+def drop_deleted_rows(state: GraphArrays) -> GraphArrays:
+    """Clear adjacency rows of deleted nodes (`drop_adj_list`, index.rs:1060)."""
+    gone = ~state.valid
+    return state._replace(
+        adjacency=jnp.where(gone[:, None], -1, state.adjacency),
+        degrees=jnp.where(gone, 0, state.degrees),
+    )
+
+
+def inplace_delete(
+    index,                     # GraphIndex (facade)
+    ids: np.ndarray,
+    *,
+    patch_batch: int = 1024,
+) -> None:
+    """Multi in-place delete (index.rs:1338 `multi_inplace_delete`): mark,
+    patch every affected in-neighbor row in batches, drop deleted rows."""
+    ids = np.asarray(ids, np.int64)
+    index.state = mark_deleted(index.state, jnp.asarray(ids, jnp.int32))
+    affected = np.nonzero(np.asarray(rows_referencing_deleted(index.state)))[0]
+    for off in range(0, len(affected), patch_batch):
+        chunk = affected[off : off + patch_batch].astype(np.int32)
+        pad = (-len(chunk)) % patch_batch
+        if pad:
+            chunk = np.pad(chunk, (0, pad), constant_values=-1)
+        index.state = patch_rows(
+            index.state, jnp.asarray(chunk), index.config
+        )
+    index.state = drop_deleted_rows(index.state)
+    index.free_slots.extend(int(i) for i in ids)
+    index.n_deleted += len(ids)

@@ -8,6 +8,7 @@ every hot operation is a jitted batched kernel over the `GraphArrays` pytree.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -33,6 +34,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _filter_deleted(dists, ids, valid, k: int):
+    """Drop deleted ids from sorted result lists and compact to the first k
+    live entries (the post-process `CopyIds`/filter step of the reference's
+    search pipeline, `glue.rs:650-800`)."""
+    cap = valid.shape[0]
+    b, l = ids.shape
+    ok = (ids >= 0) & valid[jnp.clip(ids, 0, cap - 1)]
+    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(ok & (rank < k), rank, k)
+    out_d = jnp.full((b, k), jnp.inf, dists.dtype)
+    out_i = jnp.full((b, k), -1, ids.dtype)
+    out_d = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_d, slot, dists)
+    out_i = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_i, slot, ids)
+    return out_d, out_i
+
+
 class GraphIndex:
     """A dynamic Vamana graph index on TPU."""
 
@@ -52,6 +70,8 @@ class GraphIndex:
         self.insert_batch_size = insert_batch_size
         self.search_batch_size = search_batch_size
         self.n = 0
+        self.n_deleted = 0
+        self.free_slots: list[int] = []
         self._start_ids: jax.Array | None = None
         self.state = graph_state.alloc(
             _round_up(capacity, insert_batch_size),
@@ -94,9 +114,9 @@ class GraphIndex:
         self.state = graph_state.grow(self.state, new_cap)
 
     def _start(self) -> jax.Array:
-        if self.n == 0:
+        if self.n_live <= 0:
             return jnp.full((1,), -1, jnp.int32)
-        return graph_state.medoid(self.state, jnp.int32(self.n))[None]
+        return graph_state.medoid(self.state, jnp.int32(self.n_live))[None]
 
     # ----------------------------------------------------------------- insert
     def insert(self, vectors) -> np.ndarray:
@@ -104,36 +124,48 @@ class GraphIndex:
 
         Mirrors `DiskANNIndex::multi_insert` (index.rs:815): the batch is cut
         into fixed-size minibatches, each committed with the 3-phase batched
-        kernel in `diskann_tpu.graph.build`.
+        kernel in `diskann_tpu.graph.build`.  Freed slots (from deletes) are
+        recycled first, like the reference's freelist
+        (`diskann-inmem/src/freelist.rs`).
         """
         vectors = np.asarray(vectors, dtype=np.float32)
         if vectors.ndim == 1:
             vectors = vectors[None]
         m_total = vectors.shape[0]
-        ids = np.arange(self.n, self.n + m_total, dtype=np.int64)
-        self._ensure_capacity(self.n + _round_up(m_total, self.insert_batch_size))
+
+        # assign slots: freelist first, then fresh ones at the high-water mark
+        reuse = min(len(self.free_slots), m_total)
+        slots = np.empty((m_total,), np.int64)
+        for j in range(reuse):
+            slots[j] = self.free_slots.pop()
+        fresh = m_total - reuse
+        slots[reuse:] = np.arange(self.n, self.n + fresh)
+        self._ensure_capacity(self.n + _round_up(fresh, self.insert_batch_size))
 
         bs = self.insert_batch_size
         cmps = hops = 0
         for off in range(0, m_total, bs):
             chunk = vectors[off : off + bs]
+            schunk = slots[off : off + bs].astype(np.int32)
             m = chunk.shape[0]
             if m < bs:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
+                schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
             self.state, stats = insert_batch(
                 self.state,
-                jnp.int32(self.n),
+                jnp.asarray(schunk),
                 jnp.asarray(chunk),
                 row_valid,
                 self._start(),
                 self.config,
             )
-            self.n += m
+            self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
             cmps += int(stats.cmps.sum())
             hops += int(stats.hops.sum())
+        self.n_deleted -= reuse
         self.last_insert_stats = {"cmps": cmps, "hops": hops}
-        return ids
+        return slots
 
     # ----------------------------------------------------------------- search
     def search(
@@ -176,8 +208,9 @@ class GraphIndex:
                 max_hops=self.config.max_hops,
                 history_capacity=self.config.history_capacity(l),
             )
-            out_d[off : off + m] = np.asarray(res.dists[:m, :k])
-            out_i[off : off + m] = np.asarray(res.ids[:m, :k])
+            fd, fi = _filter_deleted(res.dists, res.ids, self.state.valid, k)
+            out_d[off : off + m] = np.asarray(fd[:m])
+            out_i[off : off + m] = np.asarray(fi[:m])
             cmps[off : off + m] = np.asarray(res.cmps[:m])
             hops[off : off + m] = np.asarray(res.hops[:m])
         stats = SearchStats(
@@ -185,10 +218,41 @@ class GraphIndex:
         )
         return out_d, out_i, stats
 
+    # ----------------------------------------------------------------- delete
+    def delete(self, ids) -> None:
+        """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
+        Deleted slots go to the freelist for reuse by later inserts."""
+        from diskann_tpu.graph.delete import inplace_delete
+
+        inplace_delete(self, np.asarray(ids))
+
+    def consolidate(self) -> None:
+        """Fresh-DiskANN-style cleanup sweep: repair any rows still
+        referencing deleted nodes (`drop_deleted_neighbors`, index.rs:1756)."""
+        from diskann_tpu.graph import delete as del_mod
+
+        affected = np.nonzero(
+            np.asarray(del_mod.rows_referencing_deleted(self.state))
+        )[0]
+        bs = 1024
+        for off in range(0, len(affected), bs):
+            chunk = affected[off : off + bs].astype(np.int32)
+            pad = (-len(chunk)) % bs
+            if pad:
+                chunk = np.pad(chunk, (0, pad), constant_values=-1)
+            self.state = del_mod.patch_rows(
+                self.state, jnp.asarray(chunk), self.config
+            )
+        self.state = del_mod.drop_deleted_rows(self.state)
+
     # ------------------------------------------------------------------ misc
+    @property
+    def n_live(self) -> int:
+        return self.n - self.n_deleted
+
     @property
     def metric(self) -> Metric:
         return self.config.metric
 
     def __len__(self) -> int:
-        return self.n
+        return self.n_live

@@ -6,25 +6,35 @@ size L; repeatedly expand the ``beam_width`` closest unexpanded nodes, score
 their not-yet-scored neighbors, and merge; stop when every node in the
 best-list has been expanded.
 
-TPU re-design: the loop runs *frontier-synchronous across a whole query batch*.
-Per hop, for B queries at once:
+TPU re-design: the loop runs *frontier-synchronous across a whole query batch*
+inside one `lax.while_loop`.  Per hop, for B queries at once:
 
   1. frontier select  — the W closest unexpanded entries of each sorted
      best-list (replaces the queue cursor, `neighbor/queue.rs:68`);
   2. adjacency gather — padded ``int32 [N, R_slack]`` rows for all B*W
      frontier nodes (replaces per-node pointer chasing);
-  3. dedup            — one broadcasted equality against a bounded per-query
-     visited buffer (replaces the `scratch.visited` hash set,
-     `graph/search/scratch.rs:31`) plus a sort-based intra-hop dedup;
+  3. dedup            — sort-dedup within the hop + membership compares
+     against the best-list and a per-query *scored-id ring buffer* (replaces
+     the `scratch.visited` hash set, `graph/search/scratch.rs:31`);
   4. score            — pluggable `Scorer` (full precision = one ``[B, C] x
      [C, d]`` MXU contraction; PQ = ADC table lookups), the accessor
      boundary of the reference (`glue.rs:210` expand_beam);
-  5. merge            — one multi-operand XLA sort merges candidates into the
+  5. merge            — ONE multi-operand XLA sort merges candidates into the
      best-lists.
 
-Everything is static-shape; convergence is handled by per-row masks inside a
-``lax.while_loop`` whose condition is "any query still has unexpanded work",
-mirroring `has_notvisited_node()`.
+Engineering constraints measured on the target (v5e via axon): each while
+iteration carries a ~0.5ms scheduling floor and `scatter` costs ~10x a
+similarly-shaped `sort`, while gathers stream at 40-90 GB/s.  The body is
+therefore built from sorts, compares, gathers and *contiguous*
+`dynamic_update_slice` ring writes — zero scatters — and wider beams
+(W=2..8) trade per-hop width for fewer iterations.
+
+The visited ring holds the last ``history_capacity/C`` hops of scored ids
+(plus the start points).  Candidates already in the best-list are always
+filtered exactly; a node that was scored, fell off the list, *and* aged out
+of the ring may be re-scored — wasted work but identical results.  Size the
+ring generously (or set ``history_capacity`` to cover all hops) for exact
+reference `cmps` parity; tests do.
 """
 
 from __future__ import annotations
@@ -48,8 +58,7 @@ class SearchState(NamedTuple):
     best_d: jax.Array      # [B, L] f32, ascending
     best_i: jax.Array      # [B, L] i32, -1 pad
     best_exp: jax.Array    # [B, L] i32 0/1 "has been expanded"
-    hist: jax.Array        # [B, H] i32 scored-id dedup buffer
-    hist_n: jax.Array      # [B] i32
+    ring: jax.Array        # [B, H] i32 scored-id ring buffer
     pool_d: jax.Array      # [B, P] f32 expanded-node pool (build only; P=1 stub otherwise)
     pool_i: jax.Array      # [B, P] i32
     pool_n: jax.Array      # [B] i32
@@ -65,17 +74,6 @@ class SearchResult(NamedTuple):
     pool_d: jax.Array      # [B, P] expanded pool distances (build)
     pool_i: jax.Array      # [B, P]
     pool_n: jax.Array      # [B]
-
-
-def _append_rows(buf: jax.Array, n: jax.Array, vals: jax.Array, valid: jax.Array):
-    """Append `vals[b, j]` where `valid[b, j]` to each row of `buf` starting at
-    offset `n[b]`.  Out-of-capacity writes are dropped. Returns (buf, new_n)."""
-    h = buf.shape[1]
-    offs = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1 + n[:, None]
-    offs = jnp.where(valid, offs, h)  # drop invalid and overflow
-    buf = jax.vmap(lambda row, o, v: row.at[o].set(v, mode="drop"))(buf, offs, vals)
-    new_n = jnp.minimum(n + valid.astype(jnp.int32).sum(axis=1), h)
-    return buf, new_n
 
 
 @partial(
@@ -112,7 +110,11 @@ def beam_search_scored(
     s = start_ids.shape[0]
     w = beam_width
     l = l_search
-    h = history_capacity if history_capacity > 0 else max(256, 4 * l + 2 * r)
+    c = w * r
+    # ring: one segment for start ids + ring_hops segments of C scored ids
+    want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
+    ring_hops = max(2, -(-max(want_h - s, c) // c))
+    h = s + ring_hops * c
     p = pool_capacity if record_pool else 1
 
     q_ctx = scorer_def.prep(scorer_data, queries)
@@ -129,8 +131,8 @@ def beam_search_scored(
     init_d, init_i = init_d[:, :l], init_i[:, :l]
     init_exp = jnp.where(init_i >= 0, 0, 1).astype(jnp.int32)
 
-    hist = jnp.full((b, h), -1, dtype=jnp.int32)
-    hist, hist_n = _append_rows(hist, jnp.zeros((b,), jnp.int32), sid, svalid)
+    ring = jnp.full((b, h), -1, dtype=jnp.int32)
+    ring = ring.at[:, :s].set(jnp.where(svalid, sid, -1))
 
     if query_valid is not None:
         # converged-from-the-start rows: mark everything expanded
@@ -140,8 +142,7 @@ def beam_search_scored(
         best_d=init_d,
         best_i=init_i,
         best_exp=init_exp,
-        hist=hist,
-        hist_n=hist_n,
+        ring=ring,
         pool_d=jnp.full((b, p), jnp.inf, jnp.float32),
         pool_i=jnp.full((b, p), -1, jnp.int32),
         pool_n=jnp.zeros((b,), jnp.int32),
@@ -162,9 +163,8 @@ def beam_search_scored(
         unexp = (st.best_exp == 0) & (st.best_i >= 0)
         rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1
         sel = unexp & (rank < w)
-        # compact selected positions to the left: sort (pos or L) ascending
-        sel_pos = jnp.where(sel, pos_iota, l)
-        sel_pos = jax.lax.sort(sel_pos, dimension=-1)[:, :w]      # [B, W]
+        # compact selected positions left with one small sort
+        sel_pos = jax.lax.sort(jnp.where(sel, pos_iota, l), dimension=-1)[:, :w]
         beam_valid = sel_pos < l
         safe_pos = jnp.minimum(sel_pos, l - 1)
         beam_ids = jnp.take_along_axis(st.best_i, safe_pos, axis=1)
@@ -173,32 +173,46 @@ def beam_search_scored(
         best_exp = jnp.where(sel, 1, st.best_exp)
 
         # ---- record expanded pool (insert path prune candidates) ----
+        # contiguous stride-W writes; holes (converged rows) stay -1/inf
         if record_pool:
-            pool_d, pool_i = st.pool_d, st.pool_i
-            pool_i, _ = _append_rows(pool_i, st.pool_n, beam_ids, beam_valid)
-            pool_d, pool_n = _append_rows(pool_d, st.pool_n, beam_d, beam_valid)
+            off = jnp.minimum(it * w, p - w)
+            overflow = (it * w + w) > p
+            pd = jax.lax.dynamic_update_slice(
+                st.pool_d, jnp.where(beam_valid, beam_d, jnp.inf), (0, off)
+            )
+            pi = jax.lax.dynamic_update_slice(
+                st.pool_i, jnp.where(beam_valid, beam_ids, -1), (0, off)
+            )
+            pool_d = jnp.where(overflow, st.pool_d, pd)
+            pool_i = jnp.where(overflow, st.pool_i, pi)
+            pool_n = st.pool_n + beam_valid.astype(jnp.int32).sum(axis=1)
         else:
             pool_d, pool_i, pool_n = st.pool_d, st.pool_i, st.pool_n
 
         # ---- 2. adjacency gather ----
         nbrs = adjacency[jnp.clip(beam_ids, 0, n - 1)]            # [B, W, R]
         nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
-        cand = nbrs.reshape(b, w * r)
+        cand = nbrs.reshape(b, c)
 
-        # ---- 3. dedup: intra-hop (sort) + against history ----
+        # ---- 3. dedup: intra-hop sort-dedup + best-list + ring compares ----
         cand = jnp.where(cand >= 0, cand, _SENTINEL)
         cand = jax.lax.sort(cand, dimension=-1)
         dup = mask_duplicates_sorted(cand)
-        visited = jnp.any(cand[:, :, None] == st.hist[:, None, :], axis=-1)
-        fresh = (cand != _SENTINEL) & ~dup & ~visited             # [B, W*R]
+        in_list = jnp.any(cand[:, :, None] == st.best_i[:, None, :], axis=-1)
+        in_ring = jnp.any(cand[:, :, None] == st.ring[:, None, :], axis=-1)
+        fresh = (cand != _SENTINEL) & ~dup & ~in_list & ~in_ring  # [B, C]
 
-        hist, hist_n = _append_rows(st.hist, st.hist_n, cand, fresh)
+        # ring write: contiguous segment for this hop (no scatter)
+        seg = s + (jnp.mod(it, ring_hops)) * c
+        ring = jax.lax.dynamic_update_slice(
+            st.ring, jnp.where(fresh, cand, -1), (0, seg)
+        )
 
         # ---- 4. score fresh candidates (scorer = accessor boundary) ----
         cd = scorer_def.score(scorer_data, q_ctx, cand, fresh)
         cand_ids = jnp.where(fresh, cand, -1)
 
-        # ---- 5. merge into best lists ----
+        # ---- 5. merge into best lists: one multi-operand sort ----
         md = jnp.concatenate([st.best_d, cd], axis=1)
         mi = jnp.concatenate([st.best_i, cand_ids], axis=1)
         # fresh candidates enter unexpanded (0); padded ones never selected (1)
@@ -211,8 +225,7 @@ def beam_search_scored(
             best_d=md[:, :l],
             best_i=mi[:, :l],
             best_exp=me[:, :l],
-            hist=hist,
-            hist_n=hist_n,
+            ring=ring,
             pool_d=pool_d,
             pool_i=pool_i,
             pool_n=pool_n,

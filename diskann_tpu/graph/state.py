@@ -71,23 +71,26 @@ def grow(state: GraphArrays, new_capacity: int) -> GraphArrays:
     )
 
 
-def set_vectors(state: GraphArrays, offset, vecs, row_valid=None) -> GraphArrays:
-    """Write a contiguous block of vectors at ``offset`` (phase 1 of
-    multi_insert: `index.rs:482-534` "Set Elements").
+def set_vectors(state: GraphArrays, slot_ids, vecs, row_valid=None) -> GraphArrays:
+    """Write a batch of vectors at ``slot_ids`` (phase 1 of multi_insert:
+    `index.rs:482-534` "Set Elements").  Slots may be non-contiguous — this
+    is how freelist reuse works after deletes (the analogue of the slot
+    store + freelist in `diskann-inmem/src/{store,freelist}.rs`).
 
-    ``row_valid`` masks ragged/padded batch rows: masked rows are written as
-    zeros and not marked live.
+    ``row_valid`` masks ragged/padded batch rows: masked rows are dropped.
     """
     vecs = vecs.astype(state.vectors.dtype)
     m = vecs.shape[0]
+    cap = state.capacity
     if row_valid is None:
         row_valid = jnp.ones((m,), jnp.bool_)
     vecs = jnp.where(row_valid[:, None], vecs, 0)
     sq = squared_norms(vecs)
+    w = jnp.where(row_valid, slot_ids, cap)
     return state._replace(
-        vectors=jax.lax.dynamic_update_slice_in_dim(state.vectors, vecs, offset, 0),
-        sq_norms=jax.lax.dynamic_update_slice_in_dim(state.sq_norms, sq, offset, 0),
-        valid=jax.lax.dynamic_update_slice_in_dim(state.valid, row_valid, offset, 0),
+        vectors=state.vectors.at[w].set(vecs, mode="drop"),
+        sq_norms=state.sq_norms.at[w].set(sq, mode="drop"),
+        valid=state.valid.at[w].set(True, mode="drop"),
         vec_sum=state.vec_sum + jnp.sum(vecs.astype(jnp.float32), axis=0),
     )
 

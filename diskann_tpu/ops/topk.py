@@ -57,6 +57,67 @@ def merge_sorted(
     return tuple(o[..., :k] for o in out)
 
 
+def merge_into_sorted(
+    best_d: jax.Array,   # [B, L] ascending
+    best_i: jax.Array,   # [B, L]
+    best_e: jax.Array,   # [B, L] payload (expanded flags)
+    cd: jax.Array,       # [B, C] unsorted new candidate distances (inf = drop)
+    ci: jax.Array,       # [B, C] candidate ids
+    ce: jax.Array,       # [B, C] candidate payload
+):
+    """Merge C unsorted candidates into a sorted best-list of length L
+    WITHOUT a sort: every element's output position is computed with
+    broadcasted comparisons (rank), then written with one scatter per array.
+
+    Equivalent to a stable ascending sort of [best | candidates] truncated to
+    L, but ~20x faster on TPU where `lax.sort` of a [B, 164] batch costs
+    ~1ms while these rank compares + scatters cost tens of microseconds.
+    Tie-breaks match stable-sort semantics: existing entries precede new
+    candidates of equal distance; candidates preserve their relative order.
+    """
+    b, l = best_d.shape
+    c = cd.shape[1]
+    # candidate rank among candidates (strict less, index tiebreak)
+    lt = (cd[:, :, None] > cd[:, None, :]) | (
+        (cd[:, :, None] == cd[:, None, :])
+        & (jax.lax.broadcasted_iota(jnp.int32, (b, c, c), 1)
+           > jax.lax.broadcasted_iota(jnp.int32, (b, c, c), 2))
+    )
+    rank_cc = lt.sum(axis=2, dtype=jnp.int32)                    # [B, C]
+    # candidates placed after equal-distance best entries
+    rank_cb = (best_d[:, None, :] <= cd[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    pos_c = rank_cb + rank_cc                                    # [B, C]
+    # best entries shift by the number of strictly-smaller candidates
+    rank_bc = (cd[:, None, :] < best_d[:, :, None]).sum(axis=2, dtype=jnp.int32)
+    pos_b = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1) + rank_bc
+
+    pos_b = jnp.where(pos_b < l, pos_b, l)                       # drop overflow
+    pos_c = jnp.where(pos_c < l, pos_c, l)
+
+    def scatter2(vb, vc, fill):
+        out = jnp.full((b, l), fill, dtype=vb.dtype)
+        out = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out, pos_b, vb)
+        out = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out, pos_c, vc)
+        return out
+
+    out_d = scatter2(best_d, cd, jnp.inf)
+    out_i = scatter2(best_i, ci, jnp.int32(-1))
+    out_e = scatter2(best_e, ce, jnp.int32(1))
+    return out_d, out_i, out_e
+
+
+def mask_duplicates_any_order(ids: jax.Array) -> jax.Array:
+    """Mark entries equal to an earlier-positioned entry (no sort needed):
+    one [B, C, C] lower-triangle equality — cheap for beam-sized C."""
+    b, c = ids.shape
+    eq = ids[:, :, None] == ids[:, None, :]
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, c, c), 2)
+        < jax.lax.broadcasted_iota(jnp.int32, (b, c, c), 1)
+    )
+    return jnp.any(eq & earlier, axis=2)
+
+
 def mask_duplicates_sorted(ids: jax.Array) -> jax.Array:
     """Given ids sorted along the last axis, mark second+ occurrences.
 

@@ -97,8 +97,9 @@ def _sharded_insert(mesh, stacked, ns, starts, batch, row_valid, config):
     def local(st, n, start, vecs, valid):
         st = jax.tree.map(lambda a: a[0], st)
         n, start = n[0], start[0]
+        slots = n + jnp.arange(vecs.shape[1], dtype=jnp.int32)
         st, stats = insert_batch(
-            st, n, vecs[0], valid[0], start, config,
+            st, slots, vecs[0], valid[0], start, config,
         )
         new_n = n + valid[0].astype(jnp.int32).sum()
         new_start = graph_state.medoid(st, new_n)[None]

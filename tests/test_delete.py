@@ -1,0 +1,62 @@
+"""Streaming delete tests (IP-DiskANN semantics)."""
+
+import numpy as np
+import pytest
+
+from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+from diskann_tpu.bench.recall import knn_recall
+
+
+def build_clustered(rng, n=1200, d=12):
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=512)
+    return x, idx, centers
+
+
+def test_deleted_never_returned(rng):
+    x, idx, centers = build_clustered(rng)
+    dead = rng.choice(len(x), size=200, replace=False)
+    idx.delete(dead)
+    q = x[dead[:50]] + 0.01  # query right at deleted points
+    _, ids, _ = idx.search(q, k=10, l_search=40)
+    assert not np.isin(ids[ids >= 0], dead).any()
+    assert idx.n_live == len(x) - 200
+
+
+def test_no_dangling_references_after_delete(rng):
+    x, idx, _ = build_clustered(rng)
+    dead = rng.choice(len(x), size=150, replace=False)
+    idx.delete(dead)
+    adj = np.asarray(idx.state.adjacency[: idx.n])
+    live_entries = adj[adj >= 0]
+    assert not np.isin(live_entries, dead).any()
+    # deleted rows are cleared
+    assert (adj[dead] == -1).all()
+
+
+def test_recall_stable_after_delete(rng):
+    x, idx, _ = build_clustered(rng, n=1500)
+    dead = rng.choice(len(x), size=300, replace=False)
+    alive = np.setdiff1d(np.arange(len(x)), dead)
+    idx.delete(dead)
+
+    q = x[alive[:80]] + 0.02
+    flat = FlatIndex(x[alive], Metric.L2)
+    gt_d, gt_i = flat.search(q, k=10)
+    gt_ids = alive[gt_i]  # map back to original id space
+    _, ids, _ = idx.search(q, k=10, l_search=48)
+    r = knn_recall(ids, gt_ids, 10)
+    assert r >= 0.9, r
+
+
+def test_delete_then_consolidate_idempotent(rng):
+    x, idx, _ = build_clustered(rng)
+    idx.delete(rng.choice(len(x), size=100, replace=False))
+    from diskann_tpu.graph.delete import rows_referencing_deleted
+
+    assert not np.asarray(rows_referencing_deleted(idx.state)).any()
+    idx.consolidate()  # no-op, must not crash
+    assert idx.n_live == len(x) - 100

@@ -32,6 +32,8 @@ def run_beam(vectors, adj, start, queries, l, w=1):
         metric=Metric.L2,
         l_search=l,
         beam_width=w,
+        # large ring -> exact visited-set semantics for oracle parity
+        history_capacity=16384,
     )
 
 
@@ -109,8 +111,9 @@ def test_record_pool_collects_expanded(rng):
     for b in range(2):
         pn = int(res.pool_n[b])
         assert pn == int(res.hops[b])
-        pool = np.asarray(res.pool_i[b][:pn])
-        assert (pool >= 0).all()
+        pool = np.asarray(res.pool_i[b])
+        pool = pool[pool >= 0]  # stride-W pool has holes for converged rows
+        assert len(pool) == pn
         assert len(set(pool.tolist())) == pn  # each node expanded once
 
 
