@@ -34,6 +34,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _rerank(ids, queries, vectors, sq_norms, valid, metric: Metric, k: int):
+    """Re-score candidate ids with full-precision distances, sort, filter
+    deleted, return top-k (the disk tier's rerank post-process)."""
+    from diskann_tpu.ops.distance import distance_to_set, squared_norms as _sq
+
+    cap = vectors.shape[0]
+    ok = (ids >= 0) & valid[jnp.clip(ids, 0, cap - 1)]
+    safe = jnp.clip(ids, 0, cap - 1)
+    cvec = vectors[safe]
+    csq = sq_norms[safe]
+    qsq = _sq(queries) if metric.needs_norms else None
+    d = distance_to_set(queries, cvec, metric, x_sq_norms=csq, q_sq_norms=qsq)
+    d = jnp.where(ok, d, jnp.inf)
+    iid = jnp.where(ok, ids, -1)
+    d, iid = jax.lax.sort((d, iid), dimension=-1, num_keys=1)
+    return d[:, :k], iid[:, :k]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _filter_deleted(dists, ids, valid, k: int):
     """Drop deleted ids from sorted result lists and compact to the first k
@@ -175,8 +194,13 @@ class GraphIndex:
         *,
         l_search: int | None = None,
         beam_width: int | None = None,
+        mode: str = "full",
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
-        """k-NN search. Returns (dists [B,k], ids [B,k], stats)."""
+        """k-NN search. Returns (dists [B,k], ids [B,k], stats).
+
+        mode="full": full-precision traversal (in-memory provider).
+        mode="pq":   PQ-code traversal + full-precision rerank (the SSD-tier
+                     flow on HBM; requires `attach_pq`)."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -196,19 +220,24 @@ class GraphIndex:
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
-            res = beam_search(
-                self.state.vectors,
-                self.state.sq_norms,
-                self.state.adjacency,
-                start,
-                jnp.asarray(q),
-                metric=self.config.metric,
-                l_search=l,
-                beam_width=w,
-                max_hops=self.config.max_hops,
-                history_capacity=self.config.history_capacity(l),
-            )
-            fd, fi = _filter_deleted(res.dists, res.ids, self.state.valid, k)
+            if mode == "pq":
+                fd, fi, res = self._pq_search_batch(jnp.asarray(q), k, l, w)
+            elif mode == "full":
+                res = beam_search(
+                    self.state.vectors,
+                    self.state.sq_norms,
+                    self.state.adjacency,
+                    start,
+                    jnp.asarray(q),
+                    metric=self.config.metric,
+                    l_search=l,
+                    beam_width=w,
+                    max_hops=self.config.max_hops,
+                    history_capacity=self.config.history_capacity(l),
+                )
+                fd, fi = _filter_deleted(res.dists, res.ids, self.state.valid, k)
+            else:
+                raise ValueError(f"unknown search mode {mode!r}")
             out_d[off : off + m] = np.asarray(fd[:m])
             out_i[off : off + m] = np.asarray(fi[:m])
             cmps[off : off + m] = np.asarray(res.cmps[:m])
@@ -218,7 +247,39 @@ class GraphIndex:
         )
         return out_d, out_i, stats
 
-    # ----------------------------------------------------------------- delete
+    # ------------------------------------------------------------- quantized
+    def attach_pq(self, pq=None, *, n_chunks: int = 32, seed: int = 0) -> None:
+        """Attach (or train) a product quantizer and encode all current
+        vectors.  Enables PQ-guided traversal (`search(mode="pq")`) — the
+        HBM analogue of the SSD tier's PQ-in-RAM beam search
+        (`diskann-disk/.../disk_provider.rs:634-654`): codes are ~16x
+        smaller than f32 vectors, so each hop gathers 16x fewer bytes."""
+        from diskann_tpu.quant.pq import train_pq
+
+        vecs = np.asarray(self.state.vectors[: self.n])
+        if pq is None:
+            pq = train_pq(jax.random.key(seed), vecs, n_chunks=n_chunks)
+        self.pq = pq
+        codes = np.zeros((self.state.capacity, pq.n_chunks), np.uint8)
+        codes[: self.n] = np.asarray(pq.encode(vecs))
+        self.pq_codes = jnp.asarray(codes)
+
+    def _pq_search_batch(self, q, k, l, w):
+        from diskann_tpu.graph.scorers import pq_scorer
+        from diskann_tpu.graph.search import beam_search_scored
+
+        sdef, sdata = pq_scorer(self.pq_codes, self.pq.pivots, self.config.metric)
+        res = beam_search_scored(
+            sdef, sdata, self.state.adjacency, self._start(), q,
+            l_search=l, beam_width=w, max_hops=self.config.max_hops,
+            history_capacity=self.config.history_capacity(l),
+        )
+        # full-precision rerank of the top-L (RerankAndFilter,
+        # disk_provider.rs:292): one gather + one sort, then filter deleted
+        return _rerank(
+            res.ids, q, self.state.vectors, self.state.sq_norms,
+            self.state.valid, self.config.metric, k,
+        ) + (res,)
     def delete(self, ids) -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
         Deleted slots go to the freelist for reuse by later inserts."""

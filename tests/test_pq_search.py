@@ -1,0 +1,42 @@
+"""PQ-guided traversal + full-precision rerank (the SSD-tier flow on HBM)."""
+
+import numpy as np
+import pytest
+
+from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+from diskann_tpu.bench.recall import knn_recall
+
+
+def test_pq_search_recall(rng):
+    n, d = 2000, 32
+    centers = rng.standard_normal((40, d)).astype(np.float32) * 2
+    a = rng.integers(0, 40, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    qa = rng.integers(0, 40, size=60)
+    q = centers[qa] + 0.2 * rng.standard_normal((60, d)).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=24, l_build=48)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=512)
+    idx.attach_pq(n_chunks=8)
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, ids_full, _ = idx.search(q, k=10, l_search=48)
+    _, ids_pq, _ = idx.search(q, k=10, l_search=48, mode="pq")
+
+    r_full = knn_recall(ids_full, gt_i, 10)
+    r_pq = knn_recall(ids_pq, gt_i, 10)
+    assert r_full >= 0.95
+    # PQ traversal + rerank should stay close to full-precision recall
+    assert r_pq >= r_full - 0.08, (r_pq, r_full)
+
+
+def test_pq_search_excludes_deleted(rng):
+    n, d = 800, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=256)
+    idx.attach_pq(n_chunks=4)
+    dead = rng.choice(n, size=100, replace=False)
+    idx.delete(dead)
+    _, ids, _ = idx.search(x[dead[:20]] + 0.01, k=5, l_search=32, mode="pq")
+    assert not np.isin(ids[ids >= 0], dead).any()
