@@ -86,6 +86,7 @@ class SearchResult(NamedTuple):
         "history_capacity",
         "pool_capacity",
         "record_pool",
+        "dedup",
     ),
 )
 def beam_search_scored(
@@ -101,9 +102,16 @@ def beam_search_scored(
     history_capacity: int = 0,
     pool_capacity: int = 1,
     record_pool: bool = False,
+    dedup: str = "ring",
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
 ) -> SearchResult:
-    """Batched greedy beam search with a pluggable distance scorer."""
+    """Batched greedy beam search with a pluggable distance scorer.
+
+    dedup="ring": scored-id ring buffer + best-list membership (exact up to
+    ring age — reference `scratch.visited` semantics).
+    dedup="list": best-list membership only — nodes that fell off the list
+    may be re-scored (extra cmps, identical results); saves the [B, C, H]
+    compare, the right trade when C is wide (W>=4) and codes are compact."""
     b = queries.shape[0]
     n = adjacency.shape[0]
     r = adjacency.shape[1]
@@ -114,6 +122,8 @@ def beam_search_scored(
     # ring: one segment for start ids + ring_hops segments of C scored ids
     want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
     ring_hops = max(2, -(-max(want_h - s, c) // c))
+    if dedup == "list":
+        ring_hops = 1  # minimal stub; the in_ring compare is skipped
     h = s + ring_hops * c
     p = pool_capacity if record_pool else 1
 
@@ -199,14 +209,17 @@ def beam_search_scored(
         cand = jax.lax.sort(cand, dimension=-1)
         dup = mask_duplicates_sorted(cand)
         in_list = jnp.any(cand[:, :, None] == st.best_i[:, None, :], axis=-1)
-        in_ring = jnp.any(cand[:, :, None] == st.ring[:, None, :], axis=-1)
-        fresh = (cand != _SENTINEL) & ~dup & ~in_list & ~in_ring  # [B, C]
-
-        # ring write: contiguous segment for this hop (no scatter)
-        seg = s + (jnp.mod(it, ring_hops)) * c
-        ring = jax.lax.dynamic_update_slice(
-            st.ring, jnp.where(fresh, cand, -1), (0, seg)
-        )
+        fresh = (cand != _SENTINEL) & ~dup & ~in_list              # [B, C]
+        if dedup == "ring":
+            in_ring = jnp.any(cand[:, :, None] == st.ring[:, None, :], axis=-1)
+            fresh = fresh & ~in_ring
+            # ring write: contiguous segment for this hop (no scatter)
+            seg = s + (jnp.mod(it, ring_hops)) * c
+            ring = jax.lax.dynamic_update_slice(
+                st.ring, jnp.where(fresh, cand, -1), (0, seg)
+            )
+        else:
+            ring = st.ring
 
         # ---- 4. score fresh candidates (scorer = accessor boundary) ----
         cd = scorer_def.score(scorer_data, q_ctx, cand, fresh)
@@ -261,6 +274,7 @@ def beam_search(
     history_capacity: int = 0,
     pool_capacity: int = 1,
     record_pool: bool = False,
+    dedup: str = "ring",
     query_valid: jax.Array | None = None,
 ) -> SearchResult:
     """Full-precision beam search (the in-memory provider configuration)."""
@@ -273,5 +287,6 @@ def beam_search(
         history_capacity=history_capacity,
         pool_capacity=pool_capacity,
         record_pool=record_pool,
+        dedup=dedup,
         query_valid=query_valid,
     )
