@@ -220,8 +220,8 @@ class GraphIndex:
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
-            if mode == "pq":
-                fd, fi, res = self._pq_search_batch(jnp.asarray(q), k, l, w)
+            if mode in ("pq", "sq"):
+                fd, fi, res = self._quant_search_batch(jnp.asarray(q), k, l, w, mode)
             elif mode == "full":
                 res = beam_search(
                     self.state.vectors,
@@ -264,15 +264,42 @@ class GraphIndex:
         codes[: self.n] = np.asarray(pq.encode(vecs))
         self.pq_codes = jnp.asarray(codes)
 
-    def _pq_search_batch(self, q, k, l, w):
-        from diskann_tpu.graph.scorers import pq_scorer
+    def attach_sq(self, *, n_bits: int = 8, sigma: float = 4.0) -> None:
+        """Train an int8 scalar quantizer and encode all current vectors.
+        Enables SQ-guided traversal (`search(mode="sq")`) — 4x less gather
+        bandwidth per hop than f32, with full-precision rerank on top
+        (reference scalar quantizer: `diskann-quantization/src/scalar`)."""
+        from diskann_tpu.graph.scorers import sq_aux_norms
+        from diskann_tpu.quant.scalar import train_scalar
+
+        vecs = np.asarray(self.state.vectors[: self.n])
+        sq = train_scalar(vecs, n_bits=n_bits, sigma=sigma)
+        self.sq = sq
+        codes = np.zeros((self.state.capacity, self.dim), np.uint8)
+        codes[: self.n] = np.asarray(sq.encode(vecs))
+        self.sq_codes = jnp.asarray(codes)
+        self.sq_aux = sq_aux_norms(
+            self.sq_codes, sq.scale, sq.bias, self.config.metric
+        )
+
+    def _quant_search_batch(self, q, k, l, w, mode):
+        from diskann_tpu.graph.scorers import pq_scorer, sq_scorer
         from diskann_tpu.graph.search import beam_search_scored
 
-        sdef, sdata = pq_scorer(self.pq_codes, self.pq.pivots, self.config.metric)
+        if mode == "pq":
+            sdef, sdata = pq_scorer(
+                self.pq_codes, self.pq.pivots, self.config.metric
+            )
+        else:
+            sdef, sdata = sq_scorer(
+                self.sq_codes, self.sq.scale, self.sq.bias, self.sq_aux,
+                self.config.metric,
+            )
         res = beam_search_scored(
             sdef, sdata, self.state.adjacency, self._start(), q,
             l_search=l, beam_width=w, max_hops=self.config.max_hops,
             history_capacity=self.config.history_capacity(l),
+            dedup="list" if w > 1 else "ring",
         )
         # full-precision rerank of the top-L (RerankAndFilter,
         # disk_provider.rs:292): one gather + one sort, then filter deleted
@@ -280,6 +307,7 @@ class GraphIndex:
             res.ids, q, self.state.vectors, self.state.sq_norms,
             self.state.valid, self.config.metric, k,
         ) + (res,)
+
     def delete(self, ids) -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
         Deleted slots go to the freelist for reuse by later inserts."""
