@@ -269,18 +269,18 @@ class GraphIndex:
         Enables SQ-guided traversal (`search(mode="sq")`) — 4x less gather
         bandwidth per hop than f32, with full-precision rerank on top
         (reference scalar quantizer: `diskann-quantization/src/scalar`)."""
-        from diskann_tpu.graph.scorers import sq_aux_norms
+        from diskann_tpu.graph.scorers import sq_aux_norms, sq_center_codes
         from diskann_tpu.quant.scalar import train_scalar
 
         vecs = np.asarray(self.state.vectors[: self.n])
         sq = train_scalar(vecs, n_bits=n_bits, sigma=sigma)
         self.sq = sq
-        codes = np.zeros((self.state.capacity, self.dim), np.uint8)
+        codes = np.full((self.state.capacity, self.dim), 128, np.uint8)
         codes[: self.n] = np.asarray(sq.encode(vecs))
-        self.sq_codes = jnp.asarray(codes)
-        self.sq_aux = sq_aux_norms(
-            self.sq_codes, sq.scale, sq.bias, self.config.metric
-        )
+        codes_i8, bias2 = sq_center_codes(jnp.asarray(codes), sq.scale, sq.bias)
+        self.sq_codes = codes_i8
+        self.sq_bias2 = bias2
+        self.sq_aux = sq_aux_norms(codes_i8, sq.scale)
 
     def _quant_search_batch(self, q, k, l, w, mode):
         from diskann_tpu.graph.scorers import pq_scorer, sq_scorer
@@ -292,7 +292,7 @@ class GraphIndex:
             )
         else:
             sdef, sdata = sq_scorer(
-                self.sq_codes, self.sq.scale, self.sq.bias, self.sq_aux,
+                self.sq_codes, self.sq.scale, self.sq_bias2, self.sq_aux,
                 self.config.metric,
             )
         res = beam_search_scored(

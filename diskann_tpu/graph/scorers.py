@@ -130,39 +130,44 @@ def pq_scorer(codes, pivots, metric: Metric):
 
 
 # ------------------------------------------------------------------ int8 SQ
+# Codes are stored CENTERED: code_c = round((x - bias)/scale) - 128 in int8,
+# so the reconstruction is x_hat = scale * code_c + bias2 (bias2 = bias +
+# 128*scale).  The query is quantized to int8 per-query at prep time so the
+# candidate dot runs on the MXU int8 path with NO f32 materialization of the
+# gathered [B, C, d] code block — that conversion would otherwise cost more
+# HBM traffic than the gather itself.  Traversal tolerates the <1% dot error
+# (the reference traverses on quantized distances too, `disk_provider.rs:634`)
+# and the full-precision rerank restores exact ordering.
 def _sq_prep(metric: Metric):
     def prep(data, queries):
-        codes, scale, bias, _csq = data
+        codes, scale, bias2, aux = data
         q = queries.astype(jnp.float32)
-        # d(q, s*c + b) expansion: precompute q' = q - bias once per query so
-        # the per-candidate work is one int8-gather + dequant + dot.
-        qb = q - bias[None, :]
-        qsq = jnp.sum(qb * qb, axis=-1) if metric.needs_norms else jnp.zeros(
-            (q.shape[0],), jnp.float32
-        )
-        return (qb, qsq)
+        qb = q - bias2[None, :] if metric.needs_norms else q
+        qs = qb * scale[None, :]
+        qscale = jnp.maximum(jnp.abs(qs).max(axis=1), 1e-20) / 127.0
+        qi = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+        qsq = jnp.sum(qb * qb, axis=-1)
+        return (qi, qscale, qsq)
 
     return prep
 
 
 def _sq_score(metric: Metric):
     def score(data, q_ctx, ids, valid):
-        codes, scale, bias, csq = data     # [N, d] uint8, [d], [d], [N]
-        qb, qsq = q_ctx
+        codes, scale, bias2, aux = data    # [N, d] int8, [d], [d], [N]
+        qi, qscale, qsq = q_ctx
         n = codes.shape[0]
         safe = jnp.clip(jnp.where(valid, ids, 0), 0, n - 1)
-        c = codes[safe].astype(jnp.float32)            # [B, C, d]
-        cs = c * scale[None, None, :]                  # dequant (bias folded into qb)
-        dots = jax.lax.dot_general(
-            qb, cs, (((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        c = codes[safe]                                # [B, C, d] int8
+        dots_i = jax.lax.dot_general(
+            qi, c, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
         )
+        dots = dots_i.astype(jnp.float32) * qscale[:, None]
         if metric == Metric.InnerProduct:
-            # ranking-equivalent: -(q . x_hat) up to a per-query constant;
-            # the b.cs term is folded via csq slot (holds bias . s*c here)
-            d = -dots - csq[safe]
+            d = -dots  # ranking-equivalent (per-query constant dropped)
         else:
-            d = jnp.maximum(qsq[:, None] + csq[safe] - 2.0 * dots, 0.0)
+            d = jnp.maximum(qsq[:, None] + aux[safe] - 2.0 * dots, 0.0)
         return jnp.where(valid, d, jnp.inf)
 
     return score
@@ -171,19 +176,21 @@ def _sq_score(metric: Metric):
 _SQ_DEFS = {m: ScorerDef(f"sq:{m.value}", _sq_prep(m), _sq_score(m)) for m in Metric}
 
 
-def sq_aux_norms(codes, scale, bias, metric: Metric) -> jax.Array:
-    """Precomputed per-row auxiliary term for the SQ scorer: ||s*c||^2 for
-    L2/cosine, (bias . s*c) for inner product."""
-    cs = codes.astype(jnp.float32) * scale[None, :]
-    if metric == Metric.InnerProduct:
-        return cs @ bias
+def sq_center_codes(codes_u8, scale, bias):
+    """uint8 codes -> centered int8 codes + adjusted bias (bias2)."""
+    codes_i8 = (codes_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+    bias2 = bias + 128.0 * scale
+    return codes_i8, bias2
+
+
+def sq_aux_norms(codes_i8, scale) -> jax.Array:
+    """Precomputed ||scale * code_c||^2 per row (L2/cosine path)."""
+    cs = codes_i8.astype(jnp.float32) * scale[None, :]
     return jnp.sum(cs * cs, axis=-1)
 
 
-def sq_scorer(codes, scale, bias, csq, metric: Metric):
-    """Scalar-quantized scorer: codes [N, d] uint8 with per-dim affine
-    (scale, bias) and precomputed aux norms (`sq_aux_norms`).  Rows are 4x
-    smaller than f32, so the per-hop candidate gather — the bandwidth
-    bottleneck of graph traversal — drops 4x (the reference quantizes for
-    the same reason on SSD)."""
-    return _SQ_DEFS[metric], (codes, scale, bias, csq)
+def sq_scorer(codes_i8, scale, bias2, aux, metric: Metric):
+    """Scalar-quantized scorer over centered int8 codes (see module note).
+    Rows are 4x smaller than f32, so the per-hop candidate gather — the
+    bandwidth bottleneck of graph traversal — drops 4x."""
+    return _SQ_DEFS[metric], (codes_i8, scale, bias2, aux)
