@@ -220,7 +220,7 @@ class GraphIndex:
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
-            if mode in ("pq", "sq"):
+            if mode in ("pq", "sq", "packed"):
                 fd, fi, res = self._quant_search_batch(jnp.asarray(q), k, l, w, mode)
             elif mode == "full":
                 res = beam_search(
@@ -282,13 +282,79 @@ class GraphIndex:
         self.sq_bias2 = bias2
         self.sq_aux = sq_aux_norms(codes_i8, sq.scale)
 
+    def attach_packed(self, *, dp: int | None = 64, sigma: float = 4.0) -> None:
+        """Build the packed neighbor-code search layout: PCA-project vectors
+        to ``dp`` dims, quantize to int8, and materialize each node's
+        neighbors' codes contiguously per node.  The TPU analogue of the
+        disk index's sector layout (one read serves one expansion,
+        `disk_index_writer.rs`); call after build / after heavy updates."""
+        from diskann_tpu.graph.scorers import sq_center_codes
+        from diskann_tpu.quant.scalar import train_scalar
+
+        vecs = np.asarray(self.state.vectors[: self.n], np.float32)
+        d = self.dim
+        dp = min(dp or d, d)
+        # PCA projection (top-dp eigenvectors of the covariance)
+        mu = vecs.mean(axis=0)
+        cov = np.cov((vecs - mu).T).astype(np.float32)
+        evals, evecs = np.linalg.eigh(cov)
+        proj = evecs[:, ::-1][:, :dp].astype(np.float32)   # [d, dp]
+        pvecs = (vecs @ proj).astype(np.float32)
+
+        sq = train_scalar(pvecs, n_bits=8, sigma=sigma)
+        codes_u8 = np.full((self.state.capacity, dp), 128, np.uint8)
+        codes_u8[: self.n] = np.asarray(sq.encode(pvecs))
+        codes_i8, bias2 = sq_center_codes(jnp.asarray(codes_u8), sq.scale, sq.bias)
+
+        cs = np.asarray(codes_i8, np.float32) * np.asarray(sq.scale)[None, :]
+        self_aux = jnp.asarray((cs * cs).sum(axis=1).astype(np.float32))
+
+        self.packed = {
+            "proj": jnp.asarray(proj),
+            "pscale": sq.scale,
+            "pbias2": bias2,
+            "self_codes": codes_i8,
+            "self_aux": self_aux,
+        }
+        self._refresh_packed_rows()
+
+    def _refresh_packed_rows(self, rows: np.ndarray | None = None) -> None:
+        """(Re)build nbr_codes/nbr_aux rows from adjacency + self_codes."""
+        p = self.packed
+        adj = self.state.adjacency
+        cap, r_slack = adj.shape
+        dp = p["self_codes"].shape[1]
+        if rows is None:
+            safe = jnp.clip(adj, 0, cap - 1)
+            nbr_codes = p["self_codes"][safe]          # [cap, Rs, dp]
+            nbr_aux = jnp.where(
+                adj >= 0, p["self_aux"][safe], jnp.inf
+            )
+            p["nbr_codes"] = nbr_codes.reshape(cap, r_slack * dp)
+            p["nbr_aux"] = nbr_aux
+        else:
+            rows = jnp.asarray(rows, jnp.int32)
+            arows = adj[jnp.clip(rows, 0, cap - 1)]
+            safe = jnp.clip(arows, 0, cap - 1)
+            codes = p["self_codes"][safe].reshape(rows.shape[0], r_slack * dp)
+            aux = jnp.where(arows >= 0, p["self_aux"][safe], jnp.inf)
+            p["nbr_codes"] = p["nbr_codes"].at[rows].set(codes, mode="drop")
+            p["nbr_aux"] = p["nbr_aux"].at[rows].set(aux, mode="drop")
+
     def _quant_search_batch(self, q, k, l, w, mode):
-        from diskann_tpu.graph.scorers import pq_scorer, sq_scorer
+        from diskann_tpu.graph.scorers import packed_scorer, pq_scorer, sq_scorer
         from diskann_tpu.graph.search import beam_search_scored
 
         if mode == "pq":
             sdef, sdata = pq_scorer(
                 self.pq_codes, self.pq.pivots, self.config.metric
+            )
+        elif mode == "packed":
+            p = self.packed
+            sdef, sdata = packed_scorer(
+                self.state.adjacency, p["nbr_codes"], p["nbr_aux"],
+                p["proj"], p["pscale"], p["pbias2"],
+                p["self_codes"], p["self_aux"], self.config.metric,
             )
         else:
             sdef, sdata = sq_scorer(

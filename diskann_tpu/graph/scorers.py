@@ -32,11 +32,20 @@ class ScorerDef:
 
     prep(data, queries) -> q_ctx            per-query precomputation
     score(data, q_ctx, ids, valid) -> d     [B, C] f32 distances (inf if invalid)
+    expand (optional): fused neighbor expansion —
+      expand(data, q_ctx, beam_ids, beam_valid) -> (cand_ids [B, C], d [B, C])
+    When `expand` is set the search loop scores ALL neighbors of the beam in
+    one shot from a packed per-node layout (one big row gather per beam node
+    instead of one tiny row per candidate — the dominant cost on TPU, where
+    gathers pay ~12ns/row regardless of row size).  This mirrors the disk
+    tier's sector layout, which co-locates a node with its neighborhood
+    (`diskann-disk/src/storage/disk_index_writer.rs`).
     """
 
     name: str
     prep: Callable[[Any, jax.Array], Any]
     score: Callable[[Any, Any, jax.Array, jax.Array], jax.Array]
+    expand: Callable | None = None
 
 
 # ---------------------------------------------------------------- full precision
@@ -194,3 +203,103 @@ def sq_scorer(codes_i8, scale, bias2, aux, metric: Metric):
     Rows are 4x smaller than f32, so the per-hop candidate gather — the
     bandwidth bottleneck of graph traversal — drops 4x."""
     return _SQ_DEFS[metric], (codes_i8, scale, bias2, aux)
+
+
+# --------------------------------------------------------------- packed int8
+# Packed neighbor-code layout: for every node, the int8 codes (projected to
+# dp dims) of all its neighbors are stored contiguously in one row:
+#   nbr_codes [N, R * dp] i8     nbr_aux [N, R] f32 (||code||^2 terms)
+# Expanding a beam node costs ONE ~2-8KB row gather instead of R separate
+# 32-128B gathers — ~R x fewer rows, which is the actual gather cost model
+# on TPU.  Distances are int8 dots on the MXU against the projected,
+# quantized query.  This trades HBM capacity (R copies of each code) for
+# bandwidth, exactly like the reference's sector layout duplicates data to
+# make one SSD read serve a whole expansion.
+def _packed_prep(metric: Metric):
+    def prep(data, queries):
+        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2 = data
+        q = queries.astype(jnp.float32) @ proj          # [B, dp]
+        qb = q - pbias2[None, :] if metric.needs_norms else q
+        qs = qb * pscale[None, :]
+        qscale = jnp.maximum(jnp.abs(qs).max(axis=1), 1e-20) / 127.0
+        qi = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+        qsq = jnp.sum(qb * qb, axis=-1)
+        return (qi, qscale, qsq)
+
+    return prep
+
+
+def _packed_expand(metric: Metric):
+    def expand(data, q_ctx, beam_ids, beam_valid):
+        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2 = data
+        qi, qscale, qsq = q_ctx
+        n, rdp = nbr_codes.shape
+        r = adjacency.shape[1]
+        dp = rdp // r
+        b, w = beam_ids.shape
+        safe = jnp.clip(beam_ids, 0, n - 1)
+        nbrs = adjacency[safe]                                   # [B, W, R]
+        nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
+        codes = nbr_codes[safe].reshape(b, w * r, dp)            # one row/node
+        aux = nbr_aux[safe].reshape(b, w * r)
+        dots_i = jax.lax.dot_general(
+            qi, codes, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )
+        dots = dots_i.astype(jnp.float32) * qscale[:, None]
+        if metric == Metric.InnerProduct:
+            d = -dots
+        else:
+            d = jnp.maximum(qsq[:, None] + aux - 2.0 * dots, 0.0)
+        cand = nbrs.reshape(b, w * r)
+        return cand, jnp.where(cand >= 0, d, jnp.inf)
+
+    return expand
+
+
+_PACKED_DEFS = {}
+
+
+def packed_scorer(
+    adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2, self_codes,
+    self_aux, metric: Metric,
+):
+    """Packed neighbor-code scorer.  `self_codes [N, dp] i8` (+ aux) score
+    arbitrary ids (start points); `nbr_codes [N, R*dp]` serve expansion."""
+    key = metric
+    if key not in _PACKED_DEFS:
+        prep = _packed_prep(metric)
+
+        def score(data, q_ctx, ids, valid):
+            # per-id scoring for start points: plain int8 row gather
+            (adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2,
+             self_codes, self_aux) = data
+            qi, qscale, qsq = q_ctx
+            n = self_codes.shape[0]
+            safe = jnp.clip(jnp.where(valid, ids, 0), 0, n - 1)
+            c = self_codes[safe]
+            dots_i = jax.lax.dot_general(
+                qi, c, (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            dots = dots_i.astype(jnp.float32) * qscale[:, None]
+            if metric == Metric.InnerProduct:
+                d = -dots
+            else:
+                d = jnp.maximum(qsq[:, None] + self_aux[safe] - 2.0 * dots, 0.0)
+            return jnp.where(valid, d, jnp.inf)
+
+        def expand(data, q_ctx, beam_ids, beam_valid):
+            inner = data[:6]
+            return _packed_expand(metric)(inner, q_ctx, beam_ids, beam_valid)
+
+        def prep_outer(data, queries):
+            return prep(data[:6], queries)
+
+        _PACKED_DEFS[key] = ScorerDef(
+            f"packed:{metric.value}", prep_outer, score, expand=expand
+        )
+    return _PACKED_DEFS[key], (
+        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2,
+        self_codes, self_aux,
+    )

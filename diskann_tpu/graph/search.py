@@ -199,14 +199,24 @@ def beam_search_scored(
         else:
             pool_d, pool_i, pool_n = st.pool_d, st.pool_i, st.pool_n
 
-        # ---- 2. adjacency gather ----
-        nbrs = adjacency[jnp.clip(beam_ids, 0, n - 1)]            # [B, W, R]
-        nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
-        cand = nbrs.reshape(b, c)
+        # ---- 2+4. expand beam: adjacency gather + scoring ----
+        if scorer_def.expand is not None:
+            # packed layout: one big row gather per beam node scores every
+            # neighbor in the same pass (dists for dups are discarded below)
+            cand, cand_d = scorer_def.expand(
+                scorer_data, q_ctx, beam_ids, beam_valid
+            )
+            cand = jnp.where(cand >= 0, cand, _SENTINEL)
+            cand, cand_d = jax.lax.sort((cand, cand_d), dimension=-1, num_keys=1)
+        else:
+            nbrs = adjacency[jnp.clip(beam_ids, 0, n - 1)]        # [B, W, R]
+            nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
+            cand = nbrs.reshape(b, c)
+            cand = jnp.where(cand >= 0, cand, _SENTINEL)
+            cand = jax.lax.sort(cand, dimension=-1)
+            cand_d = None
 
         # ---- 3. dedup: intra-hop sort-dedup + best-list + ring compares ----
-        cand = jnp.where(cand >= 0, cand, _SENTINEL)
-        cand = jax.lax.sort(cand, dimension=-1)
         dup = mask_duplicates_sorted(cand)
         in_list = jnp.any(cand[:, :, None] == st.best_i[:, None, :], axis=-1)
         fresh = (cand != _SENTINEL) & ~dup & ~in_list              # [B, C]
@@ -222,7 +232,10 @@ def beam_search_scored(
             ring = st.ring
 
         # ---- 4. score fresh candidates (scorer = accessor boundary) ----
-        cd = scorer_def.score(scorer_data, q_ctx, cand, fresh)
+        if cand_d is None:
+            cd = scorer_def.score(scorer_data, q_ctx, cand, fresh)
+        else:
+            cd = jnp.where(fresh, cand_d, jnp.inf)
         cand_ids = jnp.where(fresh, cand, -1)
 
         # ---- 5. merge into best lists: one multi-operand sort ----
