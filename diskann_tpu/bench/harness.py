@@ -1,0 +1,148 @@
+"""Reusable measurement harnesses (replaces `diskann-benchmark-core`):
+parallel build timing, search sweeps with recall + latency percentiles, and
+the standard benchmark family registrations."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from diskann_tpu.bench.recall import knn_recall
+from diskann_tpu.bench.registry import Registry
+from diskann_tpu.bench.stats import percentile_summary
+from diskann_tpu.flat.index import FlatIndex
+from diskann_tpu.graph.config import GraphConfig
+from diskann_tpu.graph.index import GraphIndex
+from diskann_tpu.ops.distance import Metric
+
+
+def make_clustered(seed, n, nq, d, n_clusters=1024, sigma=0.3, device=False):
+    """Synthetic clustered dataset (queries drawn from the same mixture).
+    With device=True generation happens on-accelerator (avoids slow host
+    uploads for large N)."""
+    if device:
+        import jax
+        import jax.numpy as jnp
+
+        k0, k1, k2, k3, k4 = jax.random.split(jax.random.key(seed), 5)
+        centers = jax.random.normal(k0, (n_clusters, d), jnp.float32)
+        a = jax.random.randint(k1, (n,), 0, n_clusters)
+        x = centers[a] + sigma * jax.random.normal(k2, (n, d), jnp.float32)
+        aq = jax.random.randint(k3, (nq,), 0, n_clusters)
+        q = centers[aq] + sigma * jax.random.normal(k4, (nq, d), jnp.float32)
+        return x, q
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    a = rng.integers(0, n_clusters, size=n)
+    x = centers[a] + sigma * rng.standard_normal((n, d)).astype(np.float32)
+    aq = rng.integers(0, n_clusters, size=nq)
+    q = centers[aq] + sigma * rng.standard_normal((nq, d)).astype(np.float32)
+    return x, q
+
+
+def run_build(vectors, config: GraphConfig, *, insert_batch_size=1024, **kw) -> dict:
+    t0 = time.time()
+    idx = GraphIndex.build(
+        vectors, config, insert_batch_size=insert_batch_size, **kw
+    )
+    dt = time.time() - t0
+    return {
+        "index": idx,
+        "build_s": dt,
+        "points_per_s": len(vectors) / dt if dt > 0 else float("inf"),
+    }
+
+
+def run_search_sweep(
+    index: GraphIndex,
+    queries: np.ndarray,
+    gt_ids: np.ndarray,
+    *,
+    k: int = 10,
+    l_values=(20, 50, 100),
+    mode: str = "full",
+    beam_width: int | None = None,
+    repeats: int = 3,
+) -> list[dict]:
+    """QPS / recall / latency for each search-list size L (the reference's
+    graph-search benchmark shape, `diskann-benchmark/example/graph-index.json`)."""
+    out = []
+    b = len(queries)
+    for l in l_values:
+        # warmup (compile)
+        index.search(queries[: min(64, b)], k, l_search=l, mode=mode,
+                     beam_width=beam_width)
+        lat = []
+        ids = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _, ids, stats = index.search(
+                queries, k, l_search=l, mode=mode, beam_width=beam_width
+            )
+            lat.append(time.time() - t0)
+        dt = min(lat)
+        out.append({
+            "l_search": l,
+            "k": k,
+            "mode": mode,
+            "recall": knn_recall(ids, gt_ids, k),
+            "qps": b / dt,
+            "mean_cmps": float(stats.cmps.mean()),
+            "mean_hops": float(stats.hops.mean()),
+            "latency": percentile_summary(np.array([dt / b] * 1)),
+        })
+    return out
+
+
+# ----------------------------------------------------------- registrations
+def default_registry() -> Registry:
+    """The shipped benchmark families (replaces `diskann-benchmark`'s
+    registry, `src/main.rs:17-60`)."""
+    reg = Registry()
+
+    def graph_index_job(job: dict) -> dict:
+        n = job.get("n", 100_000)
+        d = job.get("dim", 64)
+        nq = job.get("n_queries", 1000)
+        cfg = GraphConfig(
+            max_degree=job.get("max_degree", 32),
+            l_build=job.get("l_build", 64),
+            alpha=job.get("alpha", 1.2),
+            metric=Metric(job.get("metric", "l2")),
+        )
+        x, q = make_clustered(
+            job.get("seed", 0), n, nq, d, device=job.get("device_data", True)
+        )
+        built = run_build(
+            x, cfg, insert_batch_size=job.get("insert_batch_size", 1024)
+        )
+        idx = built.pop("index")
+        flat = FlatIndex(x, cfg.metric)
+        _, gt = flat.search(q, k=job.get("k", 10))
+        sweeps = run_search_sweep(
+            idx, np.asarray(q), gt,
+            k=job.get("k", 10),
+            l_values=tuple(job.get("search_l", (20, 50, 100))),
+            mode=job.get("search_mode", "full"),
+            beam_width=job.get("beam_width"),
+        )
+        return {"build": built, "search": sweeps}
+
+    def flat_job(job: dict) -> dict:
+        n = job.get("n", 100_000)
+        d = job.get("dim", 64)
+        nq = job.get("n_queries", 1000)
+        x, q = make_clustered(job.get("seed", 0), n, nq, d,
+                              device=job.get("device_data", True))
+        flat = FlatIndex(x, Metric(job.get("metric", "l2")))
+        flat.search(np.asarray(q)[:8], k=job.get("k", 10))  # compile
+        t0 = time.time()
+        flat.search(q, k=job.get("k", 10))
+        dt = time.time() - t0
+        return {"qps": nq / dt, "recall": 1.0}
+
+    reg.register("graph-index", graph_index_job,
+                 "build + search sweep on synthetic clustered data")
+    reg.register("flat", flat_job, "brute-force scan throughput")
+    return reg

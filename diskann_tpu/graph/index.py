@@ -400,6 +400,80 @@ class GraphIndex:
             )
         self.state = del_mod.drop_deleted_rows(self.state)
 
+    # -------------------------------------------------------------- save/load
+    def save(self, path: str) -> None:
+        """Persist the index (versioned manifest + binary artifacts,
+        `diskann-record` semantics; provider-level index_storage analogue)."""
+        from diskann_tpu.io_.record import save_record
+
+        cfg = self.config
+        save_record(
+            path,
+            kind="graph_index",
+            meta={
+                "n": self.n,
+                "dim": self.dim,
+                "n_deleted": self.n_deleted,
+                "free_slots": list(map(int, self.free_slots)),
+                "config": {
+                    "max_degree": cfg.max_degree,
+                    "l_build": cfg.l_build,
+                    "alpha": cfg.alpha,
+                    "graph_slack_factor": cfg.graph_slack_factor,
+                    "max_occlusion_size": cfg.max_occlusion_size,
+                    "saturate_after_prune": cfg.saturate_after_prune,
+                    "metric": cfg.metric.value,
+                    "beam_width": cfg.beam_width,
+                },
+            },
+            arrays={
+                "vectors": np.asarray(self.state.vectors[: self.n]),
+                "adjacency": np.asarray(self.state.adjacency[: self.n]),
+                "degrees": np.asarray(self.state.degrees[: self.n]),
+                "valid": np.asarray(self.state.valid[: self.n]),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str, **kwargs) -> "GraphIndex":
+        from diskann_tpu.io_.record import load_record
+
+        manifest, arrays = load_record(path)
+        meta = manifest["meta"]
+        c = meta["config"]
+        cfg = GraphConfig(
+            max_degree=c["max_degree"],
+            l_build=c["l_build"],
+            alpha=c["alpha"],
+            graph_slack_factor=c["graph_slack_factor"],
+            max_occlusion_size=c["max_occlusion_size"],
+            saturate_after_prune=c["saturate_after_prune"],
+            metric=Metric(c["metric"]),
+            beam_width=c.get("beam_width", 1),
+        )
+        idx = cls(meta["dim"], cfg, capacity=max(meta["n"], 1024), **kwargs)
+        n = meta["n"]
+        idx.n = n
+        idx.n_deleted = meta.get("n_deleted", 0)
+        idx.free_slots = list(meta.get("free_slots", []))
+        vecs = jnp.asarray(arrays["vectors"])
+        valid = jnp.asarray(arrays["valid"])
+        st = idx.state
+        st = st._replace(
+            vectors=st.vectors.at[:n].set(vecs.astype(st.vectors.dtype)),
+            sq_norms=st.sq_norms.at[:n].set(
+                jnp.sum(vecs.astype(jnp.float32) ** 2, axis=-1)
+            ),
+            adjacency=st.adjacency.at[:n].set(jnp.asarray(arrays["adjacency"])),
+            degrees=st.degrees.at[:n].set(jnp.asarray(arrays["degrees"])),
+            valid=st.valid.at[:n].set(valid),
+            vec_sum=jnp.sum(
+                jnp.where(valid[:, None], vecs.astype(jnp.float32), 0.0), axis=0
+            ),
+        )
+        idx.state = st
+        return idx
+
     # ------------------------------------------------------------------ misc
     @property
     def n_live(self) -> int:
