@@ -1,0 +1,111 @@
+"""Headline benchmark: build + search a 1M x 128 index on one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N/100000}
+(100k QPS @ recall@10 >= 0.95 on SIFT-1M-scale data is the BASELINE.md
+target for a single v5e chip.)
+
+Progress/diagnostics go to stderr.  Dataset is synthetic clustered
+(SIFT-scale: 1M x 128 f32) generated on-device; groundtruth is computed
+exactly with the flat index on-chip.
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_NQ (8192), BENCH_MODE
+("packed"), BENCH_SKIP_BUILD=1 to reuse a cached index directory.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LOG = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import numpy as np
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    nq = int(os.environ.get("BENCH_NQ", 8192))
+    mode = os.environ.get("BENCH_MODE", "packed")
+    d = 128
+    k = 10
+    target_recall = 0.95
+
+    from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+    from diskann_tpu.bench.harness import make_clustered
+    from diskann_tpu.bench.recall import knn_recall
+
+    LOG(f"[bench] generating clustered data n={n} d={d} nq={nq} (on device)")
+    t0 = time.time()
+    x, q = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35, device=True)
+    LOG(f"[bench] data ready in {time.time()-t0:.1f}s")
+
+    LOG("[bench] computing exact groundtruth (flat scan)")
+    t0 = time.time()
+    flat = FlatIndex(x, Metric.L2)
+    _, gt = flat.search(np.asarray(q), k=k)
+    LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
+
+    cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4)
+    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W=4")
+    t0 = time.time()
+    idx = GraphIndex.build(
+        np.asarray(x), cfg, insert_batch_size=4096, search_batch_size=4096
+    )
+    build_s = time.time() - t0
+    pts_per_s = n / build_s
+    LOG(f"[bench] build: {build_s:.1f}s ({pts_per_s:.0f} pts/s)")
+
+    if mode == "packed":
+        t0 = time.time()
+        idx.attach_packed(dp=64)
+        LOG(f"[bench] packed layout in {time.time()-t0:.1f}s")
+
+    qn = np.asarray(q)
+    best = None
+    sweep = []
+    for l in (40, 60, 80, 100, 140, 200):
+        idx.search(qn[:256], k, l_search=l, mode=mode)  # compile
+        t0 = time.time()
+        _, ids, stats = idx.search(qn, k, l_search=l, mode=mode)
+        dt = time.time() - t0
+        r = knn_recall(ids, gt, k)
+        qps = nq / dt
+        sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps)})
+        LOG(f"[bench] L={l}: recall@{k}={r:.4f} qps={qps:.0f} "
+            f"hops={stats.hops.mean():.0f}")
+        if r >= target_recall and (best is None or qps > best[1]):
+            best = (l, qps, r)
+        if r >= 0.999:
+            break
+
+    if best is None:
+        # report the highest-recall point (still useful signal)
+        top = max(sweep, key=lambda s: s["recall"])
+        value, note = top["qps"], f"recall_only_{top['recall']}"
+        recall = top["recall"]
+    else:
+        value, recall = best[1], best[2]
+        note = f"L={best[0]}"
+
+    out = {
+        "metric": f"qps_at_recall{target_recall}_1M_128d_{mode}",
+        "value": round(float(value), 1),
+        "unit": "qps",
+        "vs_baseline": round(float(value) / 100_000.0, 4),
+        "extra": {
+            "recall": recall,
+            "config": note,
+            "build_s": round(build_s, 1),
+            "build_points_per_s": round(pts_per_s),
+            "n": n,
+            "sweep": sweep,
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,11 +46,19 @@ def chunked_robust_prune(
     config: GraphConfig,
     *,
     degree: int,
-    chunk: int,
+    chunk: int = 0,
+    mem_budget_bytes: int = 1 << 30,
 ):
-    """RobustPrune M pools in row-chunks so the [chunk, C, d] vector gather and
-    [chunk, C, C] pairwise tensor stay within a memory budget."""
+    """RobustPrune M pools, chunked over rows only as far as the [chunk, C, d]
+    candidate-vector gather demands.  Chunks are made as LARGE as the budget
+    allows: every chunk pays the occlusion scan's ~2*degree loop iterations,
+    and loop iterations carry a fixed scheduling cost on TPU — one wide scan
+    beats many narrow ones."""
     m, c = cand_ids.shape
+    d = vectors.shape[1]
+    if chunk <= 0:
+        per_row = c * d * vectors.dtype.itemsize * 2  # gather + sorted copy
+        chunk = max(64, min(m, mem_budget_bytes // max(per_row, 1)))
     chunk = min(chunk, m)
     pad = (-m) % chunk
     if pad:
@@ -104,7 +112,7 @@ def insert_batch(
     config: GraphConfig,
     *,
     pool_capacity: int = 512,
-    prune_chunk: int = 128,
+    prune_chunk: int = 0,
     backedge_src_cap: int = 64,
 ):
     """Insert a batch of M new points at ``slot_ids``. Returns (state, stats)."""
@@ -250,23 +258,13 @@ def insert_batch(
     pool_d = pairwise_distance(t_vec[:, None, :], pv, metric)[:, 0, :]
     pool_d = jnp.where(pool_ids >= 0, pool_d, jnp.inf)
 
-    u = t_u.shape[0]
-    u_pad = (-u) % prune_chunk
-    if u_pad:
-        pool_ids = jnp.pad(pool_ids, ((0, u_pad), (0, 0)), constant_values=-1)
-        pool_d = jnp.pad(pool_d, ((0, u_pad), (0, 0)), constant_values=jnp.inf)
-        t_vec = jnp.pad(t_vec, ((0, u_pad), (0, 0)))
-        t_u_p = jnp.pad(t_u, (0, u_pad), constant_values=cap)
-    else:
-        t_u_p = t_u
     rp_ids, _rp_d, rp_n = chunked_robust_prune(
-        state.vectors, t_vec, pool_ids, pool_d, t_u_p, config,
+        state.vectors, t_vec, pool_ids, pool_d, t_u, config,
         degree=r, chunk=prune_chunk,
     )
     rp_rows = jnp.pad(rp_ids, ((0, 0), (0, r_slack - r)), constant_values=-1)
 
     write_t = jnp.where(pick_ok, t_u, cap)
-    write_t = jnp.pad(write_t, (0, u_pad), constant_values=cap) if u_pad else write_t
     adjacency = adjacency.at[write_t].set(rp_rows, mode="drop")
     degrees = state.degrees.at[write_t].set(rp_n, mode="drop")
     state = state._replace(adjacency=adjacency, degrees=degrees)

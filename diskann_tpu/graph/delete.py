@@ -62,7 +62,7 @@ def patch_rows(
     config: GraphConfig,
     *,
     max_dead: int = 4,
-    prune_chunk: int = 128,
+    prune_chunk: int = 0,
 ) -> GraphArrays:
     """Patch rows that reference deleted nodes (one batched OneHop repair).
 

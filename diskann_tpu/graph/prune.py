@@ -13,12 +13,15 @@ Semantics reproduced exactly for the TriangleInequality rule (L2/cosine):
 - occlusion factors accumulate across rungs; promotion stops at `degree`.
 
 TPU re-design: the sequential in-order scan is replaced by an equivalent
-fixed-point iteration that needs only O(degree) steps instead of O(pool):
+fixed-point iteration needing only O(degree) steps instead of O(pool):
 because occlusion factors only grow within a rung, promoting "the first
 eligible position, then occluding later positions" repeatedly yields exactly
 the same promotion set and order as the reference's scan.  Each step is a
-batched ``[B, C]`` mask update plus one row-gather from the precomputed
-``[B, C, C]`` candidate pairwise-distance tensor (one MXU contraction).
+batched ``[B, C]`` mask update; the occluding distances d(j*, k) are computed
+*on the fly* as one ``[B, d] x [B, C, d]`` MXU contraction per step — no
+[B, C, C] pairwise tensor is ever materialized, so whole insert batches
+prune in a single un-chunked scan (loop iterations carry a fixed scheduling
+cost on TPU, so fewer-but-wider steps win).
 
 Divergence note (documented, deliberate): for the InnerProduct `Occluding`
 rule the reference applies the knockout with the alpha of the rung in which a
@@ -36,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from diskann_tpu.graph.config import GraphConfig, PruneKind, OCCLUDING_MASK
-from diskann_tpu.ops.distance import Metric, pairwise_distance
+from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
 from diskann_tpu.ops.topk import mask_duplicates_sorted
 
 _INF = jnp.float32(jnp.inf)
@@ -61,15 +64,20 @@ def _occlude_update(kind: PruneKind, occ, p_dist, jk_dist, alpha):
     return jnp.where(knocked, jnp.float32(alpha + OCCLUDING_MASK), occ)
 
 
-@partial(jax.jit, static_argnames=("degree", "alpha_ladder", "kind", "saturate"))
+@partial(
+    jax.jit,
+    static_argnames=("degree", "alpha_ladder", "kind", "metric", "saturate"),
+)
 def _occlude_scan(
     pool_d: jax.Array,     # [B, C] sorted ascending, inf for invalid
-    pair: jax.Array,       # [B, C, C] pairwise candidate distances
+    pool_vecs: jax.Array,  # [B, C, d] candidate vectors (pool order)
+    pool_sq: jax.Array,    # [B, C] squared norms of pool_vecs
     valid: jax.Array,      # [B, C] bool
     *,
     degree: int,
     alpha_ladder: tuple,
     kind: PruneKind,
+    metric: Metric,
     saturate: bool,
 ):
     b, c = pool_d.shape
@@ -93,10 +101,16 @@ def _occlude_scan(
             eligible = (occ <= alpha_f) & ~selected & valid & (found[:, None] < degree)
             any_row = jnp.any(eligible, axis=1)                      # [B]
             jstar = jnp.argmin(jnp.where(eligible, pos_iota, c), axis=1)  # [B]
-            # gather d(j*, k) row of the pairwise tensor
-            jk = jnp.take_along_axis(
-                pair, jstar[:, None, None], axis=1
-            ).squeeze(1)                                              # [B, C]
+            # d(j*, k) computed on the fly: one [B, d] x [B, C, d] contraction
+            jvec = jnp.take_along_axis(
+                pool_vecs, jnp.minimum(jstar, c - 1)[:, None, None], axis=1
+            ).squeeze(1)                                              # [B, d]
+            jsq = jnp.take_along_axis(
+                pool_sq, jnp.minimum(jstar, c - 1)[:, None], axis=1
+            ).squeeze(1)
+            jk = distance_to_set(
+                jvec, pool_vecs, metric, x_sq_norms=pool_sq, q_sq_norms=jsq
+            )                                                         # [B, C]
             newocc = _occlude_update(kind, occ, pool_d, jk, alpha_f)
             later = pos_iota > jstar[:, None]
             occ = jnp.where(any_row[:, None] & later, newocc, occ)
@@ -173,14 +187,18 @@ def robust_prune(
     pool_ids = jnp.take_along_axis(cand_ids, perm, axis=1)
     pool_vecs = jnp.take_along_axis(cand_vecs, perm[:, :, None], axis=1)
     pool_valid = jnp.take_along_axis(valid, perm, axis=1)
-
-    pair = pairwise_distance(pool_vecs, pool_vecs, config.metric)  # [B, C, C]
+    pool_sq = (
+        squared_norms(pool_vecs)
+        if config.metric.needs_norms
+        else jnp.zeros((b, c), jnp.float32)
+    )
 
     sel_pos, found = _occlude_scan(
-        pool_d, pair, pool_valid,
+        pool_d, pool_vecs, pool_sq, pool_valid,
         degree=degree,
         alpha_ladder=config.alpha_ladder(),
         kind=config.prune_kind,
+        metric=config.metric,
         saturate=saturate,
     )
 
