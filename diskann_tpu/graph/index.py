@@ -374,6 +374,85 @@ class GraphIndex:
             self.state.valid, self.config.metric, k,
         ) + (res,)
 
+    # ---------------------------------------------------------------- filters
+    def attach_labels(self, labels_per_point: list[list[str]]) -> None:
+        """Assign labels to points 0..len-1 (JSONL-ingestion shape)."""
+        from diskann_tpu.filters import LabelSet
+
+        self.labels = LabelSet.from_lists(
+            labels_per_point, capacity=self.state.capacity
+        )
+
+    def search_filtered(
+        self,
+        queries,
+        predicate,
+        k: int = 10,
+        *,
+        l_search: int | None = None,
+        beam_width: int | None = None,
+        filter_beta: float | None = None,
+        adaptive_l: bool = True,
+        max_l_scale: int = 8,
+    ):
+        """Label-filtered k-NN (inline beta-filter search,
+        `inline_filter_search.rs:38-75`): one navigation pass with matching
+        distances biased by beta plus a matched-only result list; optional
+        adaptive-L re-search when the filter is too selective."""
+        from diskann_tpu.filters import compile_accept, parse_predicate
+        from diskann_tpu.graph.scorers import full_precision_scorer
+        from diskann_tpu.graph.search import beam_search_scored
+
+        if isinstance(predicate, str):
+            predicate = parse_predicate(predicate)
+        accept_fn = compile_accept(
+            predicate, self.labels.vocab, self.state.capacity
+        )
+        beta = filter_beta if filter_beta is not None else 0.5
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        l0 = l_search if l_search is not None else max(k, self.config.l_build)
+        w = beam_width if beam_width is not None else self.config.beam_width
+
+        sdef, sdata = full_precision_scorer(
+            self.state.vectors, self.state.sq_norms, self.config.metric
+        )
+
+        def run(l):
+            return beam_search_scored(
+                sdef, sdata, self.state.adjacency, self._start(),
+                jnp.asarray(queries),
+                l_search=l, beam_width=w, max_hops=self.config.max_hops,
+                history_capacity=self.config.history_capacity(l),
+                accept_fn=accept_fn, accept_data=self.labels.bits,
+                filter_beta=beta,
+            )
+
+        res = run(l0)
+        found = np.asarray((res.match_i >= 0).sum(axis=1))
+        if adaptive_l and (found < k).any():
+            # AdaptiveL (`inline_filter_search.rs:63-75`): estimate
+            # specificity from the first pass, rescale L log-style
+            spec = max(float(found.mean()) / max(l0, 1), 1e-4)
+            if spec >= 0.5:
+                scale = 1
+            elif spec >= 0.1:
+                scale = 2
+            else:
+                scale = min(int(2 ** int(np.ceil(-np.log10(spec)))), max_l_scale)
+            if scale > 1:
+                res = run(min(l0 * scale, 1024))
+
+        fd, fi = _filter_deleted(res.match_d, res.match_i, self.state.valid, k)
+        stats = SearchStats(
+            cmps=np.asarray(res.cmps),
+            hops=np.asarray(res.hops),
+            result_count=np.asarray((np.asarray(fi) >= 0).sum(axis=1)),
+        )
+        return np.asarray(fd), np.asarray(fi), stats
+
+    # ----------------------------------------------------------------- delete
     def delete(self, ids) -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
         Deleted slots go to the freelist for reuse by later inserts."""

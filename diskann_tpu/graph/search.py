@@ -54,6 +54,16 @@ from diskann_tpu.ops.topk import mask_duplicates_sorted
 _SENTINEL = jnp.int32(2**31 - 1)
 
 
+def _beta_bias(d, accepted, beta: float):
+    """Bias navigation distances toward filter matches (FILTER_BETA,
+    `defaults.rs:41`).  Positive distances shrink by *beta; negative
+    (inner-product) distances grow in magnitude by /beta."""
+    if beta == 1.0:
+        return d
+    biased = jnp.where(d >= 0, d * beta, d / beta)
+    return jnp.where(accepted, biased, d)
+
+
 class SearchState(NamedTuple):
     best_d: jax.Array      # [B, L] f32, ascending
     best_i: jax.Array      # [B, L] i32, -1 pad
@@ -62,6 +72,8 @@ class SearchState(NamedTuple):
     pool_d: jax.Array      # [B, P] f32 expanded-node pool (build only; P=1 stub otherwise)
     pool_i: jax.Array      # [B, P] i32
     pool_n: jax.Array      # [B] i32
+    match_d: jax.Array     # [B, Lm] f32 filter-matching results (filtered search)
+    match_i: jax.Array     # [B, Lm] i32
     cmps: jax.Array        # [B] i32 distance computations (reference `SearchStats.cmps`)
     hops: jax.Array        # [B] i32 nodes expanded (reference counts beam nodes)
 
@@ -74,6 +86,8 @@ class SearchResult(NamedTuple):
     pool_d: jax.Array      # [B, P] expanded pool distances (build)
     pool_i: jax.Array      # [B, P]
     pool_n: jax.Array      # [B]
+    match_d: jax.Array     # [B, Lm] filter-matching results (true distances)
+    match_i: jax.Array     # [B, Lm]
 
 
 @partial(
@@ -87,6 +101,8 @@ class SearchResult(NamedTuple):
         "pool_capacity",
         "record_pool",
         "dedup",
+        "accept_fn",
+        "filter_beta",
     ),
 )
 def beam_search_scored(
@@ -103,6 +119,9 @@ def beam_search_scored(
     pool_capacity: int = 1,
     record_pool: bool = False,
     dedup: str = "ring",
+    accept_fn=None,            # static: (accept_data, ids, valid) -> bool mask
+    accept_data=None,
+    filter_beta: float = 1.0,
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
@@ -134,6 +153,27 @@ def beam_search_scored(
     svalid = sid >= 0
     sd = scorer_def.score(scorer_data, q_ctx, sid, svalid)
 
+    lm = l if accept_fn is not None else 1
+    if accept_fn is not None:
+        # inline filter search keeps a separate matched-only result list
+        # (`inline_filter_search.rs:178` matched_results) and biases the
+        # NAVIGATION distances of matching nodes by beta (FILTER_BETA=0.5).
+        sacc = accept_fn(accept_data, sid, svalid)
+        mpad = max(l - s, 0)
+        match_d = jnp.pad(
+            jnp.where(sacc, sd, jnp.inf), ((0, 0), (0, mpad)),
+            constant_values=jnp.inf,
+        )
+        match_i = jnp.pad(
+            jnp.where(sacc, sid, -1), ((0, 0), (0, mpad)), constant_values=-1
+        )
+        match_d, match_i = jax.lax.sort((match_d, match_i), dimension=-1, num_keys=1)
+        match_d, match_i = match_d[:, :lm], match_i[:, :lm]
+        sd = _beta_bias(sd, sacc, filter_beta)
+    else:
+        match_d = jnp.full((b, lm), jnp.inf, jnp.float32)
+        match_i = jnp.full((b, lm), -1, jnp.int32)
+
     pad = max(l - s, 0)
     init_d = jnp.pad(sd, ((0, 0), (0, pad)), constant_values=jnp.inf)
     init_i = jnp.pad(sid, ((0, 0), (0, pad)), constant_values=-1)
@@ -156,6 +196,8 @@ def beam_search_scored(
         pool_d=jnp.full((b, p), jnp.inf, jnp.float32),
         pool_i=jnp.full((b, p), -1, jnp.int32),
         pool_n=jnp.zeros((b,), jnp.int32),
+        match_d=match_d,
+        match_i=match_i,
         cmps=svalid.astype(jnp.int32).sum(axis=1),
         hops=jnp.zeros((b,), jnp.int32),
     )
@@ -238,6 +280,21 @@ def beam_search_scored(
             cd = jnp.where(fresh, cand_d, jnp.inf)
         cand_ids = jnp.where(fresh, cand, -1)
 
+        # ---- 4b. filter: matched-results list + beta navigation bias ----
+        if accept_fn is not None:
+            acc = accept_fn(accept_data, cand, fresh) & fresh
+            mmd = jnp.concatenate(
+                [st.match_d, jnp.where(acc, cd, jnp.inf)], axis=1
+            )
+            mmi = jnp.concatenate(
+                [st.match_i, jnp.where(acc, cand_ids, -1)], axis=1
+            )
+            mmd, mmi = jax.lax.sort((mmd, mmi), dimension=-1, num_keys=1)
+            match_d, match_i = mmd[:, :lm], mmi[:, :lm]
+            cd = _beta_bias(cd, acc, filter_beta)
+        else:
+            match_d, match_i = st.match_d, st.match_i
+
         # ---- 5. merge into best lists: one multi-operand sort ----
         md = jnp.concatenate([st.best_d, cd], axis=1)
         mi = jnp.concatenate([st.best_i, cand_ids], axis=1)
@@ -255,6 +312,8 @@ def beam_search_scored(
             pool_d=pool_d,
             pool_i=pool_i,
             pool_n=pool_n,
+            match_d=match_d,
+            match_i=match_i,
             cmps=st.cmps + fresh.astype(jnp.int32).sum(axis=1),
             hops=st.hops + beam_valid.astype(jnp.int32).sum(axis=1),
         )
@@ -270,6 +329,8 @@ def beam_search_scored(
         pool_d=st.pool_d,
         pool_i=st.pool_i,
         pool_n=st.pool_n,
+        match_d=st.match_d,
+        match_i=st.match_i,
     )
 
 

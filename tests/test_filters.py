@@ -1,0 +1,99 @@
+"""Label-filter tests: predicate parsing, bitsets, inline filtered search."""
+
+import numpy as np
+import pytest
+
+from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+from diskann_tpu.bench.recall import knn_recall
+from diskann_tpu.filters import LabelSet, parse_predicate, compile_accept
+from diskann_tpu.filters.predicate import And, Label, Not, Or
+
+import jax.numpy as jnp
+
+
+def test_parse_predicate():
+    p = parse_predicate("a & (b | !c)")
+    assert p == And(Label("a"), Or(Label("b"), Not(Label("c"))))
+    assert parse_predicate("x") == Label("x")
+    assert parse_predicate("a AND b OR c") == Or(And(Label("a"), Label("b")), Label("c"))
+    with pytest.raises(ValueError):
+        parse_predicate("a &")
+
+
+def test_labelset_bitset(rng):
+    labels = [["red"], ["blue"], ["red", "blue"], [], ["green"]]
+    ls = LabelSet.from_lists(labels)
+    np.testing.assert_array_equal(ls.members("red"), [0, 2])
+    np.testing.assert_array_equal(ls.members("blue"), [1, 2])
+    ids = jnp.asarray([0, 1, 2, 3, 4, -1])
+    got = np.asarray(ls.test("red", ids))
+    np.testing.assert_array_equal(got, [True, False, True, False, False, False])
+
+
+def test_compile_accept_matches_python_eval(rng):
+    labels = [
+        [l for l in ["a", "b", "c"] if rng.random() < 0.4] for _ in range(200)
+    ]
+    ls = LabelSet.from_lists(labels)
+    for expr in ["a", "a & b", "a | c", "!(a | b) & c", "a & !b | c"]:
+        pred = parse_predicate(expr)
+        fn = compile_accept(pred, ls.vocab, ls.capacity)
+        ids = jnp.arange(200, dtype=jnp.int32)[None, :]
+        got = np.asarray(fn(ls.bits, ids, jnp.ones_like(ids, bool)))[0]
+
+        def py_eval(p, i):
+            if isinstance(p, Label):
+                return p.name in labels[i]
+            if isinstance(p, And):
+                return py_eval(p.left, i) and py_eval(p.right, i)
+            if isinstance(p, Or):
+                return py_eval(p.left, i) or py_eval(p.right, i)
+            if isinstance(p, Not):
+                return not py_eval(p.inner, i)
+
+        want = np.array([py_eval(pred, i) for i in range(200)])
+        np.testing.assert_array_equal(got, want, err_msg=expr)
+
+
+def test_filtered_search(rng):
+    n, d = 1500, 16
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 2
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    # ~30% of points carry "hot", orthogonal to geometry
+    hot = rng.random(n) < 0.3
+    labels = [["hot"] if h else ["cold"] for h in hot]
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    idx.attach_labels(labels)
+
+    q = centers[rng.integers(0, 20, size=40)] + 0.15 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+    d_, ids, stats = idx.search_filtered(q, "hot", k=10, l_search=48)
+
+    # every returned id matches the filter
+    ret = ids[ids >= 0]
+    assert hot[ret].all()
+    # recall vs exact filtered groundtruth
+    hot_ids = np.nonzero(hot)[0]
+    flat = FlatIndex(x[hot_ids], Metric.L2)
+    _, gi = flat.search(q, k=10)
+    gt = hot_ids[gi]
+    assert knn_recall(ids, gt, 10) >= 0.85
+
+
+def test_filtered_search_rare_label_adaptive(rng):
+    n, d = 1000, 12
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    rare = rng.random(n) < 0.03
+    rare[:5] = True  # ensure a few
+    labels = [["rare"] if r else ["common"] for r in rare]
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    idx.attach_labels(labels)
+    _, ids, _ = idx.search_filtered(x[:10] + 0.01, "rare", k=5, l_search=16)
+    ret = ids[ids >= 0]
+    assert len(ret) > 0
+    assert rare[ret].all()
