@@ -1,0 +1,88 @@
+"""Range / paged / diverse search modes + multi-vector Chamfer."""
+
+import numpy as np
+import pytest
+
+from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+from diskann_tpu.graph.modes import PagedSearch, range_search, search_diverse
+from diskann_tpu.ops.multivec import FlatMultiVectorIndex, chamfer_scores
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    n, d = 1200, 12
+    centers = rng.standard_normal((15, d)).astype(np.float32) * 3
+    a = rng.integers(0, 15, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    return x, idx, rng
+
+
+def test_range_search(built):
+    x, idx, rng = built
+    q = x[:5] + 0.01
+    radius = 0.5
+    res = range_search(idx, q, radius, l_init=32)
+    full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    for i in range(5):
+        want = set(np.nonzero(full[i] <= radius)[0].tolist())
+        got = set(res[i].tolist())
+        # greedy search may miss a boundary point; require high coverage
+        assert len(got & want) >= 0.9 * len(want), (i, got, want)
+        assert got <= set(np.nonzero(full[i] <= radius * 1.0001)[0].tolist())
+
+
+def test_paged_search(built):
+    x, idx, rng = built
+    q = x[10] + 0.01
+    pager = PagedSearch(idx, q)
+    p1_d, p1 = pager.next_page(5)
+    p2_d, p2 = pager.next_page(5)
+    assert len(p1) == 5 and len(p2) == 5
+    assert not set(p1.tolist()) & set(p2.tolist())  # disjoint pages
+    # pages together = one search of k=10
+    _, ids, _ = idx.search(q, k=10, l_search=26)
+    assert list(p1) + list(p2) == [int(i) for i in ids[0]]
+    assert (np.diff(np.concatenate([p1_d, p2_d])) >= -1e-6).all()
+
+
+def test_diverse_search(built):
+    x, idx, rng = built
+    attrs = rng.integers(0, 5, size=idx.state.capacity)
+    q = x[:8] + 0.01
+    d, ids, _ = search_diverse(idx, q, attrs, k=6, max_per_attribute=2,
+                               l_search=64)
+    for row in ids:
+        row = row[row >= 0]
+        vals, counts = np.unique(attrs[row], return_counts=True)
+        assert (counts <= 2).all()
+
+
+def test_chamfer_maxsim_oracle(rng):
+    q = [rng.standard_normal((3, 8)).astype(np.float32)]
+    docs = [rng.standard_normal((t, 8)).astype(np.float32) for t in (2, 5, 4)]
+    idx = FlatMultiVectorIndex(docs, metric="maxsim")
+    d, ids = idx.search(q, k=3)
+    want = []
+    for doc in docs:
+        sims = q[0] @ doc.T
+        want.append(-sims.max(axis=1).sum())
+    want = np.array(want)
+    order = np.argsort(want)
+    np.testing.assert_array_equal(ids[0], order)
+    np.testing.assert_allclose(np.sort(want), d[0], rtol=1e-4)
+
+
+def test_chamfer_l2_oracle(rng):
+    q = [rng.standard_normal((2, 6)).astype(np.float32)]
+    docs = [rng.standard_normal((t, 6)).astype(np.float32) for t in (3, 2)]
+    idx = FlatMultiVectorIndex(docs, metric="chamfer_l2")
+    d, ids = idx.search(q, k=2)
+    want = []
+    for doc in docs:
+        d2 = ((q[0][:, None, :] - doc[None, :, :]) ** 2).sum(-1)
+        want.append(d2.min(axis=1).sum())
+    want = np.array(want)
+    np.testing.assert_allclose(d[0], np.sort(want), rtol=1e-4)
