@@ -132,7 +132,11 @@ class GraphIndex:
         new_cap = _round_up(max(needed, int(cap * 1.5)), self.insert_batch_size)
         self.state = graph_state.grow(self.state, new_cap)
 
+    _cached_start: jax.Array | None = None
+
     def _start(self) -> jax.Array:
+        if self._cached_start is not None:
+            return self._cached_start
         if self.n_live <= 0:
             return jnp.full((1,), -1, jnp.int32)
         return graph_state.medoid(self.state, jnp.int32(self.n_live))[None]

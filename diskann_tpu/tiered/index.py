@@ -1,0 +1,144 @@
+"""Tiered index: HBM-resident compact codes + host-RAM full vectors.
+
+Search flow (mirrors `DiskIndexSearcher::search`, `disk_provider.rs:806`):
+ 1. traversal on the device over the packed int8 neighbor-code layout
+    (PQ-distance analogue, `disk_provider.rs:634-654`);
+ 2. the top-L candidate ids come back to the host; their full-precision rows
+    are gathered from host RAM (the "sector read", `ensure_loaded` :777);
+ 3. rerank happens on device against the staged rows
+    (`RerankAndFilter`, :292).
+
+An `io_limit` caps how many full rows may be staged per query — the direct
+analogue of the disk tier's IO budget / beam-width early termination
+(`disk_provider.rs:683-722`).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskann_tpu.graph.config import GraphConfig
+from diskann_tpu.graph.index import GraphIndex
+from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
+
+
+class HostVectorStore:
+    """Full-precision vectors in host RAM (optionally np.memmap from an
+    .fbin — the NVMe-file analogue)."""
+
+    def __init__(self, vectors: np.ndarray):
+        self.vectors = vectors  # may be np.memmap
+        self.n, self.dim = vectors.shape
+
+    @classmethod
+    def from_fbin(cls, path: str):
+        from diskann_tpu.io_.fbin import read_fbin
+
+        return cls(read_fbin(path, mmap=True))
+
+    def fetch(self, ids: np.ndarray) -> np.ndarray:
+        """Batched row gather (the io_uring read batch)."""
+        safe = np.clip(ids, 0, self.n - 1)
+        return np.ascontiguousarray(self.vectors[safe], dtype=np.float32)
+
+
+class TieredIndex:
+    """DiskANN-style two-tier index for datasets larger than HBM."""
+
+    def __init__(self, graph: GraphIndex, store: HostVectorStore, *,
+                 io_limit: int | None = None):
+        self.graph = graph
+        self.store = store
+        self.io_limit = io_limit
+        self.io_stats = {"rows_staged": 0, "stage_s": 0.0}
+
+    @classmethod
+    def build_from_host(
+        cls,
+        vectors: np.ndarray,
+        config: GraphConfig | None = None,
+        *,
+        dp: int = 64,
+        insert_batch_size: int = 4096,
+        **kw,
+    ) -> "TieredIndex":
+        """Build the graph (device-side), attach the packed code layout,
+        then DROP the full vectors from HBM, keeping them host-side only."""
+        graph = GraphIndex.build(
+            vectors, config, insert_batch_size=insert_batch_size, **kw
+        )
+        graph.attach_packed(dp=dp)
+        store = HostVectorStore(np.asarray(vectors))
+        # pin the entry point, then release the HBM full-precision copy:
+        # traversal only needs the packed codes from here on
+        graph._cached_start = graph._start()
+        graph.state = graph.state._replace(
+            vectors=jnp.zeros((1, graph.dim), graph.state.vectors.dtype),
+            sq_norms=jnp.zeros((1,), jnp.float32),
+        )
+        graph._hbm_vectors_dropped = True
+        return cls(graph, store)
+
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        *,
+        l_search: int | None = None,
+        beam_width: int = 4,
+        rerank_l: int | None = None,
+    ):
+        """Quantized traversal + host-staged full-precision rerank."""
+        from diskann_tpu.graph.scorers import packed_scorer
+        from diskann_tpu.graph.search import beam_search_scored
+
+        g = self.graph
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        l = l_search or max(k, g.config.l_build)
+        p = g.packed
+        sdef, sdata = packed_scorer(
+            g.state.adjacency, p["nbr_codes"], p["nbr_aux"],
+            p["proj"], p["pscale"], p["pbias2"],
+            p["self_codes"], p["self_aux"], g.config.metric,
+        )
+        res = beam_search_scored(
+            sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
+            l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
+            dedup="list",
+        )
+        ids = np.asarray(res.ids)
+        # ---- stage full rows from host RAM (IO budget applied) ----
+        budget = min(self.io_limit or l, rerank_l or l, l)
+        stage_ids = ids[:, :budget]
+        t0 = time.time()
+        rows = self.store.fetch(stage_ids.reshape(-1)).reshape(
+            ids.shape[0], budget, -1
+        )
+        dev_rows = jnp.asarray(rows)
+        self.io_stats["rows_staged"] += int(stage_ids.size)
+        self.io_stats["stage_s"] += time.time() - t0
+
+        d, i = _tiered_rerank(
+            jnp.asarray(queries), dev_rows, jnp.asarray(stage_ids),
+            g.state.valid, g.config.metric, k,
+        )
+        return np.asarray(d), np.asarray(i), res
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _tiered_rerank(queries, rows, ids, valid, metric: Metric, k: int):
+    cap = valid.shape[0]
+    ok = (ids >= 0) & valid[jnp.clip(ids, 0, cap - 1)]
+    qsq = squared_norms(queries) if metric.needs_norms else None
+    d = distance_to_set(queries, rows, metric, q_sq_norms=qsq)
+    d = jnp.where(ok, d, jnp.inf)
+    iid = jnp.where(ok, ids, -1)
+    d, iid = jax.lax.sort((d, iid), dimension=-1, num_keys=1)
+    return d[:, :k], iid[:, :k]

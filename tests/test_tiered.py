@@ -1,0 +1,54 @@
+"""Tiered index: packed-code traversal in 'HBM' + host-RAM rerank."""
+
+import numpy as np
+import pytest
+
+from diskann_tpu import FlatIndex, GraphConfig, Metric
+from diskann_tpu.bench.recall import knn_recall
+from diskann_tpu.tiered import HostVectorStore, TieredIndex
+
+
+def test_tiered_search_recall(rng):
+    n, d = 1500, 32
+    centers = rng.standard_normal((25, d)).astype(np.float32) * 2
+    a = rng.integers(0, 25, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 25, size=40)] + 0.2 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+
+    t = TieredIndex.build_from_host(
+        x, GraphConfig(max_degree=16, l_build=32), dp=16,
+        insert_batch_size=512,
+    )
+    # the HBM full-precision copy is gone
+    assert t.graph.state.vectors.shape[0] == 1
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    d, ids, res = t.search(q, k=10, l_search=40)
+    assert knn_recall(ids, gt_i, 10) >= 0.9
+    assert t.io_stats["rows_staged"] == 40 * 40  # B * L staged
+
+
+def test_tiered_io_limit(rng):
+    n, d = 600, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    t = TieredIndex.build_from_host(
+        x, GraphConfig(max_degree=12, l_build=24), dp=16,
+        insert_batch_size=256,
+    )
+    t.io_limit = 12
+    _, ids, _ = t.search(x[:8] + 0.01, k=5, l_search=24)
+    assert t.io_stats["rows_staged"] == 8 * 12  # budget respected
+    assert (ids[:, 0] >= 0).all()
+
+
+def test_host_store_fbin(tmp_path, rng):
+    from diskann_tpu.io_.fbin import write_fbin
+
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    p = str(tmp_path / "v.fbin")
+    write_fbin(p, x)
+    store = HostVectorStore.from_fbin(p)
+    got = store.fetch(np.array([3, 7, 49]))
+    np.testing.assert_allclose(got, x[[3, 7, 49]])
