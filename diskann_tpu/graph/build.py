@@ -64,25 +64,30 @@ def chunked_robust_prune(
     if pad:
         p_vecs = jnp.pad(p_vecs, ((0, pad), (0, 0)))
         cand_ids = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
-        cand_d = jnp.pad(cand_d, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        if cand_d is not None:
+            cand_d = jnp.pad(cand_d, ((0, pad), (0, 0)), constant_values=jnp.inf)
         self_ids = jnp.pad(self_ids, (0, pad), constant_values=-1)
         m += pad
     n = vectors.shape[0]
+    with_d = cand_d is not None
 
     def one(args):
-        pv, ci, cd, si = args
+        if with_d:
+            pv, ci, cd, si = args
+        else:
+            pv, ci, si = args
+            cd = None
         cvec = vectors[jnp.clip(ci, 0, n - 1)]
         return robust_prune(pv, ci, cd, cvec, si, config, degree=degree)
 
-    res = jax.lax.map(
-        one,
-        (
-            p_vecs.reshape(m // chunk, chunk, -1),
-            cand_ids.reshape(m // chunk, chunk, c),
-            cand_d.reshape(m // chunk, chunk, c),
-            self_ids.reshape(m // chunk, chunk),
-        ),
+    xs = (
+        p_vecs.reshape(m // chunk, chunk, -1),
+        cand_ids.reshape(m // chunk, chunk, c),
     )
+    if with_d:
+        xs = xs + (cand_d.reshape(m // chunk, chunk, c),)
+    xs = xs + (self_ids.reshape(m // chunk, chunk),)
+    res = jax.lax.map(one, xs)
     out = (
         res.ids.reshape(m, degree),
         res.dists.reshape(m, degree),
@@ -110,12 +115,24 @@ def insert_batch(
     row_valid: jax.Array,   # [M] bool — padding mask for ragged final batches
     start_ids: jax.Array,   # [S] i32
     config: GraphConfig,
+    packed=None,            # PackedState | None — incremental packed layout
     *,
     pool_capacity: int = 512,
     prune_chunk: int = 0,
     backedge_src_cap: int = 64,
 ):
-    """Insert a batch of M new points at ``slot_ids``. Returns (state, stats)."""
+    """Insert a batch of M new points at ``slot_ids``.
+
+    Returns (state, packed, stats).  When a `PackedState` is passed,
+    candidate generation traverses the packed int8 layout (one row gather per
+    expansion — the build-speed analogue of the reference disk build's
+    PQ-guided search) and the packed tables are maintained incrementally as
+    edges are committed; prune decisions are always full-precision (distances
+    recomputed from the raw vectors inside RobustPrune)."""
+    from diskann_tpu.graph import packed as packed_mod
+    from diskann_tpu.graph.scorers import packed_scorer
+    from diskann_tpu.graph.search import beam_search_scored
+
     m, d = new_vecs.shape
     r = config.max_degree
     r_slack = state.max_degree_slack
@@ -127,19 +144,41 @@ def insert_batch(
 
     # ---------------- phase 1: set elements ----------------
     state = set_vectors(state, slot_ids, new_vecs, row_valid=row_valid)
+    if packed is not None:
+        codes, aux = packed_mod.encode(packed, new_vecs, metric)
+        packed = packed_mod.set_self_codes(
+            packed, jnp.where(row_valid, slot_ids, -1), codes, aux
+        )
 
     # ---------------- phase 2: candidate generation ----------------
-    res = beam_search(
-        state.vectors, state.sq_norms, state.adjacency, start_ids,
-        new_vecs.astype(state.vectors.dtype),
-        metric=metric,
-        l_search=config.l_build,
-        beam_width=config.beam_width,
-        max_hops=config.max_hops,
-        pool_capacity=pool_capacity,
-        record_pool=True,
-        query_valid=row_valid,
-    )
+    if packed is not None:
+        sdef, sdata = packed_scorer(
+            state.adjacency, packed.nbr_codes, packed.nbr_aux,
+            packed.proj, packed.pscale, packed.pbias2,
+            packed.self_codes, packed.self_aux, metric,
+        )
+        res = beam_search_scored(
+            sdef, sdata, state.adjacency, start_ids, new_vecs,
+            l_search=config.l_build,
+            beam_width=config.beam_width,
+            max_hops=config.max_hops,
+            pool_capacity=pool_capacity,
+            record_pool=True,
+            dedup="list",
+            query_valid=row_valid,
+        )
+    else:
+        res = beam_search(
+            state.vectors, state.sq_norms, state.adjacency, start_ids,
+            new_vecs.astype(state.vectors.dtype),
+            metric=metric,
+            l_search=config.l_build,
+            beam_width=config.beam_width,
+            max_hops=config.max_hops,
+            pool_capacity=pool_capacity,
+            record_pool=True,
+            query_valid=row_valid,
+        )
 
     # intra-batch candidates (`IntraBatchCandidates::All`, config/mod.rs:120)
     ibc = config.intra_batch_candidates
@@ -165,7 +204,8 @@ def insert_batch(
     cand_d, cand_ids = cd_sorted[:, :c_cap], ci_sorted[:, :c_cap]
 
     out_ids, _out_d, out_n = chunked_robust_prune(
-        state.vectors, new_vecs.astype(state.vectors.dtype), cand_ids, cand_d,
+        state.vectors, new_vecs.astype(state.vectors.dtype), cand_ids,
+        None if packed is not None else cand_d,
         new_ids, config, degree=r, chunk=prune_chunk,
     )
     out_ids = jnp.where(row_valid[:, None], out_ids, -1)
@@ -177,6 +217,8 @@ def insert_batch(
     adjacency = state.adjacency.at[w_ids].set(out_rows, mode="drop")
     degrees = state.degrees.at[w_ids].set(out_n, mode="drop")
     state = state._replace(adjacency=adjacency, degrees=degrees)
+    if packed is not None:
+        packed = packed_mod.refresh_rows(packed, state.adjacency, w_ids)
 
     # ---------------- phase 3b: backedges ----------------
     if config.max_backedges is not None:
@@ -225,6 +267,8 @@ def insert_batch(
         1, mode="drop"
     )
     state = state._replace(adjacency=adjacency, degrees=degrees)
+    if packed is not None:
+        packed = packed_mod.append_edges(packed, tkey_s, slot, src_s, append_ok)
 
     # ---------------- phase 3c: re-prune overfull targets ----------------
     # (`add_edge_and_prune`, index.rs:2264: when a row exceeds R*slack it is
@@ -268,6 +312,8 @@ def insert_batch(
     adjacency = adjacency.at[write_t].set(rp_rows, mode="drop")
     degrees = state.degrees.at[write_t].set(rp_n, mode="drop")
     state = state._replace(adjacency=adjacency, degrees=degrees)
+    if packed is not None:
+        packed = packed_mod.refresh_rows(packed, state.adjacency, write_t)
 
     stats = InsertStats(cmps=res.cmps, hops=res.hops)
-    return state, stats
+    return state, packed, stats

@@ -1,0 +1,131 @@
+"""Packed neighbor-code layout state + incremental maintenance.
+
+The packed layout (`diskann_tpu.graph.scorers.packed_scorer`) stores, for
+every node, the int8 PCA-projected codes of all its neighbors contiguously:
+
+    nbr_codes [cap, R_slack * dp] int8      nbr_aux [cap, R_slack] f32
+    self_codes [cap, dp] int8               self_aux [cap] f32
+
+so one row gather serves a whole beam expansion.  This module keeps those
+tables consistent under graph mutations — the analogue of the disk tier
+rewriting a node's sector when its neighborhood changes
+(`diskann-disk/src/storage/disk_index_writer.rs`):
+
+- `encode` / `set_self_codes`: project + quantize new vectors;
+- `refresh_rows`: rebuild whole packed rows from adjacency (new nodes,
+  re-pruned nodes, delete-patched nodes);
+- `append_edges`: write a single neighbor's code into (target, slot) cells
+  (the backedge fast path — no full-row rebuild).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diskann_tpu.ops.distance import Metric
+
+
+class PackedState(NamedTuple):
+    proj: jax.Array        # [d, dp] f32 projection (PCA / rotation)
+    pscale: jax.Array      # [dp] f32 per-dim quant scale
+    pbias2: jax.Array      # [dp] f32 adjusted bias (bias + 128*scale)
+    self_codes: jax.Array  # [cap, dp] i8
+    self_aux: jax.Array    # [cap] f32  (||code||^2 for L2; 0 for IP)
+    nbr_codes: jax.Array   # [cap, R_slack * dp] i8
+    nbr_aux: jax.Array     # [cap, R_slack] f32 (inf for empty slots)
+
+    @property
+    def dp(self) -> int:
+        return self.proj.shape[1]
+
+
+def train_packed(
+    vectors: np.ndarray, dp: int, metric: Metric, *, sigma: float = 4.0
+):
+    """Fit the projection + quantization params on (a sample of) vectors."""
+    vecs = np.asarray(vectors, np.float32)
+    d = vecs.shape[1]
+    dp = min(dp, d)
+    mu = vecs.mean(axis=0)
+    cov = np.cov((vecs - mu).T).astype(np.float32)
+    if cov.ndim == 0:  # d == 1
+        cov = cov.reshape(1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    proj = np.ascontiguousarray(evecs[:, ::-1][:, :dp]).astype(np.float32)
+    p = vecs @ proj
+    mean, std = p.mean(axis=0), p.std(axis=0)
+    lo, hi = mean - sigma * std, mean + sigma * std
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    bias2 = lo + 128.0 * scale
+    return jnp.asarray(proj), jnp.asarray(scale), jnp.asarray(bias2)
+
+
+def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
+    dp = proj.shape[1]
+    return PackedState(
+        proj=proj,
+        pscale=pscale,
+        pbias2=pbias2,
+        self_codes=jnp.zeros((capacity, dp), jnp.int8),
+        self_aux=jnp.zeros((capacity,), jnp.float32),
+        nbr_codes=jnp.zeros((capacity, r_slack * dp), jnp.int8),
+        nbr_aux=jnp.full((capacity, r_slack), jnp.inf, jnp.float32),
+    )
+
+
+def encode(packed: PackedState, vecs: jax.Array, metric: Metric):
+    """-> (codes [M, dp] i8, aux [M] f32)."""
+    xp = vecs.astype(jnp.float32) @ packed.proj
+    t = (xp - packed.pbias2[None, :]) / packed.pscale[None, :]
+    codes = jnp.clip(jnp.round(t), -128, 127).astype(jnp.int8)
+    cs = codes.astype(jnp.float32) * packed.pscale[None, :]
+    if metric == Metric.InnerProduct:
+        aux = jnp.zeros((vecs.shape[0],), jnp.float32)
+    else:
+        aux = jnp.sum(cs * cs, axis=-1)
+    return codes, aux
+
+
+def set_self_codes(packed: PackedState, slot_ids, codes, aux) -> PackedState:
+    cap = packed.self_codes.shape[0]
+    w = jnp.where(slot_ids >= 0, slot_ids, cap)
+    return packed._replace(
+        self_codes=packed.self_codes.at[w].set(codes, mode="drop"),
+        self_aux=packed.self_aux.at[w].set(aux, mode="drop"),
+    )
+
+
+def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState:
+    """Rebuild full packed rows for `rows` from current adjacency."""
+    cap, r_slack = adjacency.shape
+    dp = packed.dp
+    rows = jnp.asarray(rows, jnp.int32)
+    safe_rows = jnp.clip(rows, 0, cap - 1)
+    arows = adjacency[safe_rows]                       # [T, Rs]
+    safe = jnp.clip(arows, 0, cap - 1)
+    codes = packed.self_codes[safe].reshape(rows.shape[0], r_slack * dp)
+    aux = jnp.where(arows >= 0, packed.self_aux[safe], jnp.inf)
+    w = jnp.where((rows >= 0) & (rows < cap), rows, cap)
+    return packed._replace(
+        nbr_codes=packed.nbr_codes.at[w].set(codes, mode="drop"),
+        nbr_aux=packed.nbr_aux.at[w].set(aux, mode="drop"),
+    )
+
+
+def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
+    """Write src's code into (tgt, slot) — the backedge append fast path."""
+    cap = packed.self_codes.shape[0]
+    dp = packed.dp
+    r_slack = packed.nbr_aux.shape[1]
+    codes = packed.self_codes[jnp.clip(src, 0, cap - 1)]      # [E, dp]
+    aux = packed.self_aux[jnp.clip(src, 0, cap - 1)]
+    wt = jnp.where(ok, tgt, cap)
+    ws = jnp.where(ok, slot, 0)
+    nc = packed.nbr_codes.reshape(cap, r_slack, dp)
+    nc = nc.at[wt, ws].set(codes, mode="drop")
+    na = packed.nbr_aux.at[wt, ws].set(aux, mode="drop")
+    return packed._replace(nbr_codes=nc.reshape(cap, r_slack * dp), nbr_aux=na)

@@ -147,7 +147,7 @@ def _occlude_scan(
 def robust_prune(
     p_vecs: jax.Array,        # [B, d] points being pruned
     cand_ids: jax.Array,      # [B, C] candidate ids (-1 invalid; may contain dups/self)
-    cand_dists: jax.Array,    # [B, C] d(p, candidate)
+    cand_dists: jax.Array | None,  # [B, C] d(p, candidate); None -> recompute
     cand_vecs: jax.Array,     # [B, C, d] candidate vectors (gathered by caller)
     self_ids: jax.Array,      # [B] id of each pruned point (self-loop exclusion)
     config: GraphConfig,
@@ -161,8 +161,15 @@ def robust_prune(
     runs the occlusion scan.  Returns up to ``degree`` neighbors per row in
     promotion order (reference returns them in the same order,
     `index.rs:2744-2749`).
+
+    Pass ``cand_dists=None`` to recompute exact distances from the gathered
+    vectors — used when candidate generation ran on quantized codes so prune
+    decisions stay full-precision (the reference's disk build does the same:
+    PQ guides the search, full vectors feed the prune).
     """
     b, c = cand_ids.shape
+    if cand_dists is None:
+        cand_dists = distance_to_set(p_vecs, cand_vecs, config.metric)
     degree = degree if degree is not None else config.max_degree
     if saturate is None:
         saturate = config.saturate_after_prune and config.alpha > 1.0

@@ -104,9 +104,9 @@ class TieredIndex:
         l = l_search or max(k, g.config.l_build)
         p = g.packed
         sdef, sdata = packed_scorer(
-            g.state.adjacency, p["nbr_codes"], p["nbr_aux"],
-            p["proj"], p["pscale"], p["pbias2"],
-            p["self_codes"], p["self_aux"], g.config.metric,
+            g.state.adjacency, p.nbr_codes, p.nbr_aux,
+            p.proj, p.pscale, p.pbias2,
+            p.self_codes, p.self_aux, g.config.metric,
         )
         res = beam_search_scored(
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),

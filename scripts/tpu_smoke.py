@@ -70,12 +70,12 @@ def main():
     rv = jnp.ones((1024,), bool)
     slots = 500_000 + jnp.arange(1024, dtype=jnp.int32)
     t0 = time.time()
-    st2, stats = insert_batch(st, slots, newv, rv, start, cfg)
+    st2, _pk, stats = insert_batch(st, slots, newv, rv, start, cfg)
     _ = np.asarray(st2.degrees[:1])
     print(f"insert compile+run: {time.time()-t0:.2f}s")
     for trial in range(3):
         t0 = time.time()
-        st2, stats = insert_batch(st, slots, newv, rv, start, cfg)
+        st2, _pk, stats = insert_batch(st, slots, newv, rv, start, cfg)
         _ = np.asarray(st2.degrees[:1])
         dt = time.time() - t0
         print(f"insert batch 1024: {dt*1e3:.1f}ms -> {1024/dt:.0f} pts/s")

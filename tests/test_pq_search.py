@@ -76,3 +76,27 @@ def test_packed_search_recall(rng):
     gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
     _, ids, _ = idx.search(q, k=10, l_search=40, mode="packed", beam_width=4)
     assert knn_recall(ids, gt_i, 10) >= 0.9
+
+
+def test_packed_build_mode_recall(rng):
+    n, d = 2000, 32
+    centers = rng.standard_normal((40, d)).astype(np.float32) * 2
+    a = rng.integers(0, 40, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 40, size=60)] + 0.2 * rng.standard_normal(
+        (60, d)
+    ).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=24, l_build=48, beam_width=4)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=512,
+                           build_mode="packed", packed_dp=16)
+    assert idx.packed is not None
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    # the incrementally-maintained packed layout serves search directly
+    _, ids_p, _ = idx.search(q, k=10, l_search=48, mode="packed")
+    _, ids_f, _ = idx.search(q, k=10, l_search=48, mode="full")
+    r_p = knn_recall(ids_p, gt_i, 10)
+    r_f = knn_recall(ids_f, gt_i, 10)
+    assert r_f >= 0.9, r_f   # packed-built graph quality
+    assert r_p >= 0.85, r_p
