@@ -337,7 +337,7 @@ class GraphIndex:
             self.config.max_degree_with_slack,
         )
         codes, aux = packed_mod.encode(p, jnp.asarray(vecs), self.config.metric)
-        p = packed_mod.set_self_codes(
+        p = packed_mod.set_self_codes_donated(
             p, jnp.arange(self.n, dtype=jnp.int32), codes, aux
         )
         # full nbr-table rebuild in row blocks (bounds gather memory)
@@ -345,7 +345,9 @@ class GraphIndex:
         for off in range(0, self.state.capacity, bs):
             rows = jnp.arange(off, min(off + bs, self.state.capacity),
                               dtype=jnp.int32)
-            p = packed_mod.refresh_rows(p, self.state.adjacency, rows)
+            if rows.shape[0] < bs:
+                rows = jnp.pad(rows, (0, bs - rows.shape[0]), constant_values=-1)
+            p = packed_mod.refresh_rows_donated(p, self.state.adjacency, rows)
         self.packed = p
 
     def _quant_search_batch(self, q, k, l, w, mode):

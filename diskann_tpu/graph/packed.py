@@ -116,6 +116,13 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     )
 
 
+# Donating wrappers for host-driven maintenance loops: without donation each
+# functional update would materialize a second copy of the multi-GB
+# nbr_codes table and OOM the chip.
+refresh_rows_donated = jax.jit(refresh_rows, donate_argnums=(0,))
+set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
+
+
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     """Write src's code into (tgt, slot) — the backedge append fast path."""
     cap = packed.self_codes.shape[0]

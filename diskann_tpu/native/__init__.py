@@ -1,0 +1,140 @@
+"""Native C++ host runtime: mmap IO, batched row gather, LRU row cache.
+
+The compute path of this framework is JAX/XLA/Pallas on the TPU; the host
+runtime around it (dataset IO, staging gathers for the tiered store, the hot
+row cache) is native C++ exposed over a C ABI via ctypes — the structural
+counterpart of the reference's Rust IO stack (`diskann-disk` readers,
+`diskann-utils/src/io.rs`).  The library is compiled on first use with the
+system toolchain and cached next to the sources; every entry point has a
+pure-numpy fallback so the framework degrades gracefully without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libhostio.so")
+_SRC = os.path.join(_DIR, "hostio.cpp")
+
+_lib = None
+_tried = False
+
+
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (compiling if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not _compile():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.hio_open.restype = ctypes.c_void_p
+    lib.hio_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.hio_rows.restype = ctypes.c_int64
+    lib.hio_rows.argtypes = [ctypes.c_void_p]
+    lib.hio_dim.restype = ctypes.c_int64
+    lib.hio_dim.argtypes = [ctypes.c_void_p]
+    lib.hio_gather.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64,
+    ]
+    lib.hio_close.argtypes = [ctypes.c_void_p]
+    lib.hio_cache_create.restype = ctypes.c_void_p
+    lib.hio_cache_create.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.hio_gather_cached.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.hio_cache_hits.restype = ctypes.c_int64
+    lib.hio_cache_hits.argtypes = [ctypes.c_void_p]
+    lib.hio_cache_misses.restype = ctypes.c_int64
+    lib.hio_cache_misses.argtypes = [ctypes.c_void_p]
+    lib.hio_cache_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+class NativeVectorFile:
+    """mmap'd [n][dim] binary file with native batched row gather + LRU cache."""
+
+    def __init__(self, path: str, elem_size: int = 4, *, cache_rows: int = 0,
+                 threads: int | None = None):
+        import numpy as np
+
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native hostio unavailable")
+        self._lib = lib
+        self._h = lib.hio_open(path.encode(), elem_size)
+        if not self._h:
+            raise OSError(f"hio_open failed for {path}")
+        self.n = lib.hio_rows(self._h)
+        self.dim = lib.hio_dim(self._h)
+        self.elem_size = elem_size
+        self.threads = threads or min(8, os.cpu_count() or 1)
+        self._cache = (
+            lib.hio_cache_create(self._h, cache_rows) if cache_rows else None
+        )
+        self._np = np
+
+    def gather(self, ids) -> "np.ndarray":
+        np = self._np
+        ids = np.ascontiguousarray(ids, np.int64)
+        out = np.empty((ids.size, self.dim), np.float32 if self.elem_size == 4
+                       else np.uint8)
+        if self._cache:
+            self._lib.hio_gather_cached(
+                self._h, self._cache,
+                ids.ctypes.data_as(ctypes.c_void_p), ids.size,
+                out.ctypes.data_as(ctypes.c_void_p),
+            )
+        else:
+            self._lib.hio_gather(
+                self._h, ids.ctypes.data_as(ctypes.c_void_p), ids.size,
+                out.ctypes.data_as(ctypes.c_void_p), self.threads,
+            )
+        return out
+
+    @property
+    def cache_stats(self):
+        if not self._cache:
+            return None
+        return {
+            "hits": self._lib.hio_cache_hits(self._cache),
+            "misses": self._lib.hio_cache_misses(self._cache),
+        }
+
+    def close(self):
+        if self._cache:
+            self._lib.hio_cache_destroy(self._cache)
+            self._cache = None
+        if self._h:
+            self._lib.hio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,186 @@
+// Host-side IO runtime: mmap'd vector files, batched row gather, LRU row cache.
+//
+// This is the TPU framework's native analogue of the reference's disk IO
+// stack: io_uring batched sector reads (diskann-disk/.../platform/linux.rs),
+// the aligned reader (aligned_read.rs) and the node cache
+// (data_model/cache.rs).  On a TPU host the "device" is host RAM / page
+// cache; the hot operations are batched row gathers feeding HBM staging
+// buffers, which this implements with mmap + multithreaded memcpy and an
+// optional LRU cache for hot rows.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes (no pybind11).
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct File {
+    int fd = -1;
+    const uint8_t* base = nullptr;  // mmap base (row 0, header skipped)
+    size_t map_len = 0;
+    int64_t n = 0;
+    int64_t dim = 0;
+    int64_t row_bytes = 0;
+};
+
+struct LruCache {
+    // fixed-capacity LRU over row ids; values are offsets into `slab`
+    explicit LruCache(int64_t cap, int64_t row_bytes)
+        : cap(cap), row_bytes(row_bytes), slab(cap * row_bytes) {}
+    int64_t cap;
+    int64_t row_bytes;
+    std::vector<uint8_t> slab;
+    std::unordered_map<int64_t, int64_t> pos;   // row id -> slot
+    std::vector<int64_t> slot_row;              // slot -> row id
+    std::vector<int64_t> lru_prev, lru_next;    // doubly linked list by slot
+    int64_t head = -1, tail = -1;               // head = most recent
+    std::mutex mu;
+    std::atomic<int64_t> hits{0}, misses{0};
+
+    void touch(int64_t slot) {
+        if (head == slot) return;
+        // unlink
+        if (lru_prev[slot] >= 0) lru_next[lru_prev[slot]] = lru_next[slot];
+        if (lru_next[slot] >= 0) lru_prev[lru_next[slot]] = lru_prev[slot];
+        if (tail == slot) tail = lru_prev[slot];
+        // push front
+        lru_prev[slot] = -1;
+        lru_next[slot] = head;
+        if (head >= 0) lru_prev[head] = slot;
+        head = slot;
+        if (tail < 0) tail = slot;
+    }
+
+    int64_t get_or_insert(int64_t row, const uint8_t* src, bool* was_hit) {
+        std::lock_guard<std::mutex> lock(mu);
+        auto it = pos.find(row);
+        if (it != pos.end()) {
+            *was_hit = true;
+            hits.fetch_add(1, std::memory_order_relaxed);
+            touch(it->second);
+            return it->second;
+        }
+        *was_hit = false;
+        misses.fetch_add(1, std::memory_order_relaxed);
+        int64_t slot;
+        if ((int64_t)slot_row.size() < cap) {
+            slot = (int64_t)slot_row.size();
+            slot_row.push_back(row);
+            lru_prev.push_back(-1);
+            lru_next.push_back(head);
+            if (head >= 0) lru_prev[head] = slot;
+            head = slot;
+            if (tail < 0) tail = slot;
+        } else {
+            slot = tail;  // evict least-recent
+            pos.erase(slot_row[slot]);
+            slot_row[slot] = row;
+            touch(slot);
+        }
+        std::memcpy(slab.data() + slot * row_bytes, src, row_bytes);
+        pos[row] = slot;
+        return slot;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Open a [n:i32][dim:i32] header binary file of `elem_size`-byte elements.
+// Returns an opaque handle or nullptr.
+void* hio_open(const char* path, int64_t elem_size) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return nullptr;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+    int32_t hdr[2];
+    if (pread(fd, hdr, 8, 0) != 8) { ::close(fd); return nullptr; }
+    auto* f = new File();
+    f->fd = fd;
+    f->n = hdr[0];
+    f->dim = hdr[1];
+    f->row_bytes = f->dim * elem_size;
+    f->map_len = (size_t)st.st_size;
+    void* m = mmap(nullptr, f->map_len, PROT_READ, MAP_SHARED, fd, 0);
+    if (m == MAP_FAILED) { ::close(fd); delete f; return nullptr; }
+    madvise(m, f->map_len, MADV_RANDOM);
+    f->base = (const uint8_t*)m + 8;
+    return f;
+}
+
+int64_t hio_rows(void* h) { return ((File*)h)->n; }
+int64_t hio_dim(void* h) { return ((File*)h)->dim; }
+
+// Gather `count` rows into `out` (count * row_bytes). Ids out of range are
+// clamped. Uses up to `threads` worker threads for large batches.
+void hio_gather(void* h, const int64_t* ids, int64_t count, uint8_t* out,
+                int64_t threads) {
+    File* f = (File*)h;
+    const int64_t rb = f->row_bytes;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t id = ids[i];
+            if (id < 0) id = 0;
+            if (id >= f->n) id = f->n - 1;
+            std::memcpy(out + i * rb, f->base + id * rb, rb);
+        }
+    };
+    if (threads <= 1 || count < 4096) {
+        work(0, count);
+        return;
+    }
+    std::vector<std::thread> ts;
+    int64_t per = (count + threads - 1) / threads;
+    for (int64_t t = 0; t < threads; ++t) {
+        int64_t lo = t * per, hi = std::min(count, lo + per);
+        if (lo >= hi) break;
+        ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+}
+
+void hio_close(void* h) {
+    File* f = (File*)h;
+    munmap((void*)(f->base - 8), f->map_len);
+    ::close(f->fd);
+    delete f;
+}
+
+// ---- LRU row cache (node cache analogue) ----
+void* hio_cache_create(void* h, int64_t capacity_rows) {
+    File* f = (File*)h;
+    return new LruCache(capacity_rows, f->row_bytes);
+}
+
+void hio_gather_cached(void* h, void* c, const int64_t* ids, int64_t count,
+                       uint8_t* out) {
+    File* f = (File*)h;
+    LruCache* cache = (LruCache*)c;
+    const int64_t rb = f->row_bytes;
+    for (int64_t i = 0; i < count; ++i) {
+        int64_t id = ids[i];
+        if (id < 0) id = 0;
+        if (id >= f->n) id = f->n - 1;
+        bool hit = false;
+        int64_t slot = cache->get_or_insert(id, f->base + id * rb, &hit);
+        std::memcpy(out + i * rb, cache->slab.data() + slot * rb, rb);
+    }
+}
+
+int64_t hio_cache_hits(void* c) { return ((LruCache*)c)->hits.load(); }
+int64_t hio_cache_misses(void* c) { return ((LruCache*)c)->misses.load(); }
+void hio_cache_destroy(void* c) { delete (LruCache*)c; }
+
+}  // extern "C"

@@ -28,21 +28,39 @@ from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
 
 
 class HostVectorStore:
-    """Full-precision vectors in host RAM (optionally np.memmap from an
-    .fbin — the NVMe-file analogue)."""
+    """Full-precision vectors in host RAM (optionally mmap'd from an .fbin
+    — the NVMe-file analogue).  File-backed stores use the native C++ IO
+    runtime (`diskann_tpu.native`: mmap + threaded batched gather + LRU row
+    cache) when available."""
 
     def __init__(self, vectors: np.ndarray):
         self.vectors = vectors  # may be np.memmap
         self.n, self.dim = vectors.shape
+        self._native = None
 
     @classmethod
-    def from_fbin(cls, path: str):
-        from diskann_tpu.io_.fbin import read_fbin
+    def from_fbin(cls, path: str, *, cache_rows: int = 0):
+        try:
+            from diskann_tpu.native import NativeVectorFile
 
-        return cls(read_fbin(path, mmap=True))
+            nf = NativeVectorFile(path, 4, cache_rows=cache_rows)
+            self = cls.__new__(cls)
+            self.vectors = None
+            self.n, self.dim = nf.n, nf.dim
+            self._native = nf
+            return self
+        except Exception:
+            from diskann_tpu.io_.fbin import read_fbin
+
+            return cls(read_fbin(path, mmap=True))
 
     def fetch(self, ids: np.ndarray) -> np.ndarray:
         """Batched row gather (the io_uring read batch)."""
+        ids = np.asarray(ids)
+        if self._native is not None:
+            return self._native.gather(ids.reshape(-1)).reshape(
+                ids.shape + (self.dim,)
+            )
         safe = np.clip(ids, 0, self.n - 1)
         return np.ascontiguousarray(self.vectors[safe], dtype=np.float32)
 
