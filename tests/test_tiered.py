@@ -52,3 +52,34 @@ def test_host_store_fbin(tmp_path, rng):
     store = HostVectorStore.from_fbin(p)
     got = store.fetch(np.array([3, 7, 49]))
     np.testing.assert_allclose(got, x[[3, 7, 49]])
+
+
+def test_native_hostio(tmp_path, rng):
+    from diskann_tpu.io_.fbin import write_fbin
+    from diskann_tpu.native import NativeVectorFile, get_lib
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    p = str(tmp_path / "v.fbin")
+    write_fbin(p, x)
+    nf = NativeVectorFile(p, 4, cache_rows=64)
+    ids = rng.integers(0, 200, size=500)
+    got = nf.gather(ids)
+    np.testing.assert_allclose(got, x[ids])
+    stats = nf.cache_stats
+    assert stats["hits"] + stats["misses"] == 500
+    assert stats["hits"] > 0  # 500 draws over 200 rows must hit
+    nf.close()
+
+
+def test_tiered_uses_native_when_file_backed(tmp_path, rng):
+    from diskann_tpu.io_.fbin import write_fbin
+
+    x = rng.standard_normal((100, 8)).astype(np.float32)
+    p = str(tmp_path / "v.fbin")
+    write_fbin(p, x)
+    store = HostVectorStore.from_fbin(p, cache_rows=32)
+    got = store.fetch(np.array([[1, 2], [3, 99]]))
+    assert got.shape == (2, 2, 8)
+    np.testing.assert_allclose(got[1, 1], x[99])
