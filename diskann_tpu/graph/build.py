@@ -106,6 +106,9 @@ class InsertStats(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("config", "pool_capacity", "prune_chunk", "backedge_src_cap"),
+    # donate the graph + packed state: without this every functional update
+    # keeps a second copy of the multi-GB tables alive and OOMs the chip
+    donate_argnums=(0, 6),
 )
 def insert_batch(
     state: GraphArrays,
