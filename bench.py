@@ -49,19 +49,15 @@ def main():
     LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
 
     cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4)
-    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W=4")
+    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W=4 (packed)")
     t0 = time.time()
     idx = GraphIndex.build(
-        np.asarray(x), cfg, insert_batch_size=4096, search_batch_size=4096
+        np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=4096,
+        build_mode="packed", packed_dp=32,
     )
     build_s = time.time() - t0
     pts_per_s = n / build_s
     LOG(f"[bench] build: {build_s:.1f}s ({pts_per_s:.0f} pts/s)")
-
-    if mode == "packed":
-        t0 = time.time()
-        idx.attach_packed(dp=64)
-        LOG(f"[bench] packed layout in {time.time()-t0:.1f}s")
 
     qn = np.asarray(q)
     best = None

@@ -1,0 +1,69 @@
+"""Benchmark CLI (replaces the `diskann-benchmark` binary).
+
+    python -m diskann_tpu.bench run jobs.json [-o results.json]
+    python -m diskann_tpu.bench list
+    python -m diskann_tpu.bench check A.json B.json tolerances.json
+
+Jobs are JSON: [{"benchmark": "graph-index", ...}, ...] — see
+`diskann_tpu/bench/example/` (reference: `diskann-benchmark/example/*.json`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="diskann_tpu.bench")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run")
+    r.add_argument("jobs")
+    r.add_argument("-o", "--out")
+
+    sub.add_parser("list")
+
+    c = sub.add_parser("check")
+    c.add_argument("a")
+    c.add_argument("b")
+    c.add_argument("tolerances")
+
+    args = ap.parse_args(argv)
+
+    from diskann_tpu.bench.harness import default_registry
+
+    reg = default_registry()
+
+    if args.cmd == "list":
+        for name in reg.names():
+            print(name)
+    elif args.cmd == "run":
+        results = reg.run_file(args.jobs)
+        text = json.dumps(results, indent=2)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        print(text)
+    elif args.cmd == "check":
+        from diskann_tpu.bench.registry import check_tolerances
+
+        with open(args.a) as f:
+            a = json.load(f)
+        with open(args.b) as f:
+            b = json.load(f)
+        with open(args.tolerances) as f:
+            tol = json.load(f)
+        pf = check_tolerances(a, b, tol)
+        if pf.passed:
+            print(f"PASS ({pf.checks} checks)")
+        else:
+            print("FAIL:")
+            for msg in pf.failures:
+                print(" ", msg)
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

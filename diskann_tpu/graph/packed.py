@@ -124,15 +124,27 @@ set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 
 
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
-    """Write src's code into (tgt, slot) — the backedge append fast path."""
+    """Write src's code into (tgt, slot) — the backedge append fast path.
+
+    Scatters into the FLAT [cap, R_slack*dp] int8 layout: a 3-D
+    [cap, R_slack, dp] view would be tile-padded 4x by the TPU's int8
+    (32, 128) minor-dim tiling (measured: +7.4GB at 1M x 83 x 32)."""
     cap = packed.self_codes.shape[0]
     dp = packed.dp
     r_slack = packed.nbr_aux.shape[1]
     codes = packed.self_codes[jnp.clip(src, 0, cap - 1)]      # [E, dp]
     aux = packed.self_aux[jnp.clip(src, 0, cap - 1)]
-    wt = jnp.where(ok, tgt, cap)
-    ws = jnp.where(ok, slot, 0)
-    nc = packed.nbr_codes.reshape(cap, r_slack, dp)
-    nc = nc.at[wt, ws].set(codes, mode="drop")
-    na = packed.nbr_aux.at[wt, ws].set(aux, mode="drop")
-    return packed._replace(nbr_codes=nc.reshape(cap, r_slack * dp), nbr_aux=na)
+    e = tgt.shape[0]
+    flat_base = (
+        jnp.where(ok, tgt, cap).astype(jnp.int64) * (r_slack * dp)
+        + jnp.where(ok, slot, 0).astype(jnp.int64) * dp
+    )
+    idx = (flat_base[:, None] + jnp.arange(dp, dtype=jnp.int64)[None, :]).reshape(-1)
+    nc_flat = packed.nbr_codes.reshape(-1)
+    nc_flat = nc_flat.at[idx].set(codes.reshape(-1), mode="drop")
+    na = packed.nbr_aux.at[
+        jnp.where(ok, tgt, cap), jnp.where(ok, slot, 0)
+    ].set(aux, mode="drop")
+    return packed._replace(
+        nbr_codes=nc_flat.reshape(cap, r_slack * dp), nbr_aux=na
+    )
