@@ -134,17 +134,15 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     r_slack = packed.nbr_aux.shape[1]
     codes = packed.self_codes[jnp.clip(src, 0, cap - 1)]      # [E, dp]
     aux = packed.self_aux[jnp.clip(src, 0, cap - 1)]
-    e = tgt.shape[0]
-    flat_base = (
-        jnp.where(ok, tgt, cap).astype(jnp.int64) * (r_slack * dp)
-        + jnp.where(ok, slot, 0).astype(jnp.int64) * dp
+    # 2-D (row, col) scatter keeps indices within int32 (a flat index over
+    # the full table would overflow at cap * R_slack * dp)
+    rows = jnp.broadcast_to(jnp.where(ok, tgt, cap)[:, None], codes.shape)
+    cols = (
+        jnp.where(ok, slot, 0)[:, None] * dp
+        + jnp.arange(dp, dtype=jnp.int32)[None, :]
     )
-    idx = (flat_base[:, None] + jnp.arange(dp, dtype=jnp.int64)[None, :]).reshape(-1)
-    nc_flat = packed.nbr_codes.reshape(-1)
-    nc_flat = nc_flat.at[idx].set(codes.reshape(-1), mode="drop")
+    nbr_codes = packed.nbr_codes.at[rows, cols].set(codes, mode="drop")
     na = packed.nbr_aux.at[
         jnp.where(ok, tgt, cap), jnp.where(ok, slot, 0)
     ].set(aux, mode="drop")
-    return packed._replace(
-        nbr_codes=nc_flat.reshape(cap, r_slack * dp), nbr_aux=na
-    )
+    return packed._replace(nbr_codes=nbr_codes, nbr_aux=na)
