@@ -53,3 +53,49 @@ def test_sharded_graph_build_and_search(rng, mesh):
     gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
     r = knn_recall(mapped, gt_i, 10)
     assert r >= 0.9, r
+
+
+def test_kmeans_partition_overlap(rng, mesh):
+    from diskann_tpu.parallel.partition import (
+        estimate_build_ram_bytes, kmeans_partition, shard_lists,
+    )
+
+    centers = rng.standard_normal((8, 8)).astype(np.float32) * 5
+    a = rng.integers(0, 8, size=400)
+    x = centers[a] + 0.1 * rng.standard_normal((400, 8)).astype(np.float32)
+    c, assign = kmeans_partition(x, 4, overlap=2)
+    assert assign.shape == (400, 2)
+    # overlap shards are distinct
+    assert (assign[:, 0] != assign[:, 1]).all()
+    lists = shard_lists(assign, 4)
+    # with overlap=2 total assignments = 2N
+    assert sum(len(l) for l in lists) == 800
+    # every shard gets a reasonable share
+    assert min(len(l) for l in lists) > 20
+    assert estimate_build_ram_bytes(1_000_000, 128, 83) > 0
+
+
+def test_sharded_build_with_kmeans_partition(rng, mesh):
+    from diskann_tpu.parallel.partition import kmeans_partition
+    from diskann_tpu.bench.recall import knn_recall as kr
+    from diskann_tpu import FlatIndex, Metric as M
+
+    n, d = 1600, 16
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    a = rng.integers(0, 16, size=n)
+    x = centers[a] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+    _, assign = kmeans_partition(x, 8, overlap=1)
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=512)
+    idx.insert(x, assign[:, 0])
+    q = centers[rng.integers(0, 16, size=40)] + 0.1 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+    dists, gids, _ = idx.search(q, k=10, l_search=40)
+    # locality partitioning keeps recall: compare distances to exact
+    gt_d, _ = FlatIndex(x, M.L2).search(q, k=10)
+    close = np.abs(np.asarray(dists) - gt_d) <= 1e-3 + 1e-3 * np.abs(gt_d)
+    # hard (overlap=1) partitioning loses some cross-shard neighbors at the
+    # tail of the top-10; ~3/4 exact matches is the expected operating point
+    assert close.mean() >= 0.7
