@@ -146,5 +146,19 @@ def inplace_delete(
             index.state, jnp.asarray(chunk), index.config
         )
     index.state = drop_deleted_rows(index.state)
+    if index.packed is not None:
+        # keep the packed layout consistent: patched rows changed their
+        # neighborhoods, deleted rows were cleared
+        from diskann_tpu.graph import packed as packed_mod
+
+        stale = np.concatenate([affected.astype(np.int64), ids]).astype(np.int32)
+        for off in range(0, len(stale), patch_batch):
+            chunk = stale[off : off + patch_batch]
+            pad = (-len(chunk)) % patch_batch
+            if pad:
+                chunk = np.pad(chunk, (0, pad), constant_values=-1)
+            index.packed = packed_mod.refresh_rows_donated(
+                index.packed, index.state.adjacency, jnp.asarray(chunk)
+            )
     index.free_slots.extend(int(i) for i in ids)
     index.n_deleted += len(ids)

@@ -60,3 +60,24 @@ def test_delete_then_consolidate_idempotent(rng):
     assert not np.asarray(rows_referencing_deleted(idx.state)).any()
     idx.consolidate()  # no-op, must not crash
     assert idx.n_live == len(x) - 100
+
+
+def test_packed_layout_consistent_after_delete(rng):
+    from diskann_tpu.graph import packed as pk
+    import jax.numpy as jnp
+
+    n, d = 800, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=12, l_build=24),
+                           insert_batch_size=256, build_mode="packed",
+                           packed_dp=16)
+    dead = rng.choice(n, size=120, replace=False)
+    idx.delete(dead)
+    # packed rows must mirror adjacency exactly after the delete repair
+    adj = np.asarray(idx.state.adjacency)
+    aux = np.asarray(idx.packed.nbr_aux)
+    live_slots = adj >= 0
+    assert (np.isfinite(aux) == live_slots).all()
+    # searching the packed layout never returns deleted ids
+    _, ids, _ = idx.search(x[dead[:10]] + 0.01, k=5, l_search=24, mode="packed")
+    assert not np.isin(ids[ids >= 0], dead).any()
