@@ -403,11 +403,17 @@ class GraphIndex:
         filter_beta: float | None = None,
         adaptive_l: bool = True,
         max_l_scale: int = 8,
+        method: str = "inline",
     ):
-        """Label-filtered k-NN (inline beta-filter search,
-        `inline_filter_search.rs:38-75`): one navigation pass with matching
-        distances biased by beta plus a matched-only result list; optional
-        adaptive-L re-search when the filter is too selective."""
+        """Label-filtered k-NN.
+
+        method="inline": inline beta-filter search
+        (`inline_filter_search.rs:38-75`) — one navigation pass over all
+        nodes with matching distances biased by beta, plus a matched-only
+        result list; optional adaptive-L re-search when the filter is too
+        selective.
+        method="multihop": accept-only navigation with two-hop expansion
+        through rejected nodes (`multihop_filter_search.rs`)."""
         from diskann_tpu.filters import compile_accept, parse_predicate
         from diskann_tpu.graph.scorers import full_precision_scorer
         from diskann_tpu.graph.search import beam_search_scored
@@ -435,7 +441,7 @@ class GraphIndex:
                 l_search=l, beam_width=w, max_hops=self.config.max_hops,
                 history_capacity=self.config.history_capacity(l),
                 accept_fn=accept_fn, accept_data=self.labels.bits,
-                filter_beta=beta,
+                filter_beta=beta, filter_mode=method,
             )
 
         res = run(l0)

@@ -103,6 +103,7 @@ class SearchResult(NamedTuple):
         "dedup",
         "accept_fn",
         "filter_beta",
+        "filter_mode",
     ),
 )
 def beam_search_scored(
@@ -122,6 +123,7 @@ def beam_search_scored(
     accept_fn=None,            # static: (accept_data, ids, valid) -> bool mask
     accept_data=None,
     filter_beta: float = 1.0,
+    filter_mode: str = "inline",   # "inline" | "multihop"
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
@@ -281,6 +283,7 @@ def beam_search_scored(
         cand_ids = jnp.where(fresh, cand, -1)
 
         # ---- 4b. filter: matched-results list + beta navigation bias ----
+        extra = ()
         if accept_fn is not None:
             acc = accept_fn(accept_data, cand, fresh) & fresh
             mmd = jnp.concatenate(
@@ -291,17 +294,53 @@ def beam_search_scored(
             )
             mmd, mmi = jax.lax.sort((mmd, mmi), dimension=-1, num_keys=1)
             match_d, match_i = mmd[:, :lm], mmi[:, :lm]
-            cd = _beta_bias(cd, acc, filter_beta)
+            if filter_mode == "multihop":
+                # MultihopFilterSearch (`multihop_filter_search.rs:180-237`):
+                # only ACCEPTED nodes enter the navigation list; the closest
+                # R_slack/2 rejected one-hop neighbors get a second,
+                # accept-only expansion ("tunneling" through non-matches).
+                w2 = max(r // 2, 1)
+                rej_d = jnp.where(fresh & ~acc, cd, jnp.inf)
+                rd2, ri2 = jax.lax.sort((rej_d, cand), dimension=-1, num_keys=1)
+                hop2_ids = jnp.where(
+                    jnp.isfinite(rd2[:, :w2]), ri2[:, :w2], -1
+                )
+                nb2 = adjacency[jnp.clip(hop2_ids, 0, n - 1)]
+                nb2 = jnp.where((hop2_ids >= 0)[:, :, None], nb2, -1)
+                cand2 = jnp.where(nb2 >= 0, nb2, _SENTINEL).reshape(b, w2 * r)
+                cand2 = jax.lax.sort(cand2, dimension=-1)
+                dup2 = mask_duplicates_sorted(cand2)
+                in_list2 = jnp.any(
+                    cand2[:, :, None] == st.best_i[:, None, :], axis=-1
+                )
+                in_hop1 = jnp.any(cand2[:, :, None] == cand[:, None, :], axis=-1)
+                fresh2 = (cand2 != _SENTINEL) & ~dup2 & ~in_list2 & ~in_hop1
+                cd2 = scorer_def.score(scorer_data, q_ctx, cand2, fresh2)
+                acc2 = accept_fn(accept_data, cand2, fresh2) & fresh2
+                ci2 = jnp.where(acc2, cand2, -1)
+                cd2m = jnp.where(acc2, cd2, jnp.inf)
+                extra = (cd2m, ci2)
+                # matched list gets the two-hop accepts too
+                mmd = jnp.concatenate([match_d, cd2m], axis=1)
+                mmi = jnp.concatenate([match_i, ci2], axis=1)
+                mmd, mmi = jax.lax.sort((mmd, mmi), dimension=-1, num_keys=1)
+                match_d, match_i = mmd[:, :lm], mmi[:, :lm]
+                # navigation list only takes accepted one-hop candidates
+                cd = jnp.where(acc, cd, jnp.inf)
+                cand_ids = jnp.where(acc, cand_ids, -1)
+            else:
+                cd = _beta_bias(cd, acc, filter_beta)
         else:
             match_d, match_i = st.match_d, st.match_i
 
         # ---- 5. merge into best lists: one multi-operand sort ----
-        md = jnp.concatenate([st.best_d, cd], axis=1)
-        mi = jnp.concatenate([st.best_i, cand_ids], axis=1)
+        md = jnp.concatenate([st.best_d, cd] + ([extra[0]] if extra else []), axis=1)
+        mi = jnp.concatenate([st.best_i, cand_ids] + ([extra[1]] if extra else []), axis=1)
         # fresh candidates enter unexpanded (0); padded ones never selected (1)
-        me = jnp.concatenate(
-            [best_exp, jnp.where(cand_ids >= 0, 0, 1).astype(jnp.int32)], axis=1
-        )
+        me_tail = [jnp.where(cand_ids >= 0, 0, 1).astype(jnp.int32)]
+        if extra:
+            me_tail.append(jnp.where(extra[1] >= 0, 0, 1).astype(jnp.int32))
+        me = jnp.concatenate([best_exp] + me_tail, axis=1)
         md, mi, me = jax.lax.sort((md, mi, me), dimension=-1, num_keys=1)
 
         new_st = SearchState(
@@ -314,8 +353,10 @@ def beam_search_scored(
             pool_n=pool_n,
             match_d=match_d,
             match_i=match_i,
-            cmps=st.cmps + fresh.astype(jnp.int32).sum(axis=1),
-            hops=st.hops + beam_valid.astype(jnp.int32).sum(axis=1),
+            cmps=st.cmps + fresh.astype(jnp.int32).sum(axis=1)
+            + (fresh2.astype(jnp.int32).sum(axis=1) if extra else 0),
+            hops=st.hops + beam_valid.astype(jnp.int32).sum(axis=1)
+            + ((hop2_ids >= 0).astype(jnp.int32).sum(axis=1) if extra else 0),
         )
         return it + 1, new_st
 

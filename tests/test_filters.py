@@ -97,3 +97,30 @@ def test_filtered_search_rare_label_adaptive(rng):
     ret = ids[ids >= 0]
     assert len(ret) > 0
     assert rare[ret].all()
+
+
+def test_multihop_filtered_search(rng):
+    n, d = 1500, 16
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 2
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    hot = rng.random(n) < 0.15  # sparse filter: multihop's sweet spot
+    labels = [["hot"] if h else ["cold"] for h in hot]
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    idx.attach_labels(labels)
+
+    q = centers[rng.integers(0, 20, size=30)] + 0.15 * rng.standard_normal(
+        (30, d)
+    ).astype(np.float32)
+    d_, ids, _ = idx.search_filtered(q, "hot", k=10, l_search=48,
+                                     method="multihop")
+    ret = ids[ids >= 0]
+    assert len(ret) > 0
+    assert hot[ret].all()
+    hot_ids = np.nonzero(hot)[0]
+    flat = FlatIndex(x[hot_ids], Metric.L2)
+    _, gi = flat.search(q, k=10)
+    gt = hot_ids[gi]
+    assert knn_recall(ids, gt, 10) >= 0.8
