@@ -114,4 +114,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # degrade rather than report nothing
+        LOG(f"[bench] FAILED at full scale: {type(e).__name__}: {e}")
+        if os.environ.get("BENCH_RETRY") != "0":
+            os.environ["BENCH_N"] = str(
+                max(int(os.environ.get("BENCH_N", 1_000_000)) // 4, 100_000)
+            )
+            os.environ["BENCH_RETRY"] = "0"
+            LOG(f"[bench] retrying at n={os.environ['BENCH_N']}")
+            main()
+        else:
+            raise
