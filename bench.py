@@ -63,7 +63,7 @@ def main():
     t0 = time.time()
     idx = GraphIndex.build(
         np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=4096,
-        build_mode="packed", packed_dp=32,
+        build_mode="packed", packed_dp=64,
     )
     build_s = time.time() - t0
     pts_per_s = n / build_s

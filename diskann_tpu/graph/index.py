@@ -163,13 +163,21 @@ class GraphIndex:
             )
 
     _cached_start: jax.Array | None = None
+    _auto_start: jax.Array | None = None
 
     def _start(self) -> jax.Array:
         if self._cached_start is not None:
-            return self._cached_start
+            return self._cached_start  # pinned (e.g. tiered drop of vectors)
         if self.n_live <= 0:
             return jnp.full((1,), -1, jnp.int32)
-        return graph_state.medoid(self.state, jnp.int32(self.n_live))[None]
+        if self._auto_start is None:
+            self._auto_start = graph_state.medoid(
+                self.state, jnp.int32(self.n_live)
+            )[None]
+        return self._auto_start
+
+    def _invalidate_start(self):
+        self._auto_start = None
 
     # ----------------------------------------------------------------- insert
     def insert(self, vectors) -> np.ndarray:
@@ -197,6 +205,7 @@ class GraphIndex:
 
         bs = self.insert_batch_size
         cmps = hops = 0
+        self._invalidate_start()  # one medoid refresh per insert call
         for off in range(0, m_total, bs):
             chunk = vectors[off : off + bs]
             schunk = slots[off : off + bs].astype(np.int32)
@@ -474,6 +483,7 @@ class GraphIndex:
         from diskann_tpu.graph.delete import inplace_delete
 
         inplace_delete(self, np.asarray(ids))
+        self._invalidate_start()
 
     def consolidate(self) -> None:
         """Fresh-DiskANN-style cleanup sweep: repair any rows still
