@@ -1,0 +1,201 @@
+"""Fused beam-search hop update: dedup + merge + frontier select in ONE op.
+
+Replaces ~8 XLA ops per `while` iteration (candidate sort-dedup, best-list
+membership compare, 3-operand merge sort, frontier-position sort, gathers)
+whose combined scheduling overhead dominates the hop on the target TPU.
+
+Everything inside is dense VPU/MXU work with no dynamic indexing:
+
+- duplicate + best-list membership masks via broadcasted equality;
+- the merge is a *rank computation* (how many entries precede each element)
+  followed by an inverse-permutation one-hot matmul on the MXU — equivalent
+  to a stable merge sort of [best | candidates] truncated to L;
+- frontier selection builds ranks of unexpanded entries with a
+  strict-lower-triangular matmul (cumsum on the MXU) and extracts the W
+  beam entries with one-hot contractions.
+
+Ids ride through the f32 matmuls split into two 16-bit halves (exact).
+Semantics match `beam_search_scored`'s dedup="list" path bit-for-bit; the
+pure-jnp reference implementation `hop_update_ref` is the test oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Python int (not a jnp scalar): jnp constants captured by a pallas kernel
+# closure are rejected; literals inline fine.
+_SENT = 2**31 - 1
+
+
+class HopUpdate(NamedTuple):
+    best_d: jax.Array    # [B, L] merged, ascending
+    best_i: jax.Array    # [B, L]
+    best_exp: jax.Array  # [B, L] (beam entries already marked expanded)
+    beam_i: jax.Array    # [B, W] next frontier ids (-1 = converged)
+    beam_d: jax.Array    # [B, W]
+    fresh: jax.Array     # [B] i32 — candidates scored into the list
+
+
+# "infinity" that survives the one-hot matmul: IEEE inf * 0 = NaN, so
+# distances ride through the MXU clamped to a huge finite value instead.
+_BIG = 1.0e38
+
+
+def _core(best_d, best_i, best_exp, cand, cand_d, w: int):
+    """Shared math (runs inside the kernel AND as the jnp reference)."""
+    blk, l = best_d.shape
+    c = cand.shape[1]
+    t = l + c
+    f32 = jnp.float32
+    best_d = jnp.minimum(best_d, _BIG)
+
+    # ---- dedup: intra-hop duplicates + membership in the best list ----
+    eq_cc = cand[:, :, None] == cand[:, None, :]                     # [B,C,C]
+    earlier = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk, c, c), 2)
+        < jax.lax.broadcasted_iota(jnp.int32, (blk, c, c), 1)
+    )
+    dup = jnp.any(eq_cc & earlier, axis=2)
+    in_list = jnp.any(cand[:, :, None] == best_i[:, None, :], axis=2)
+    fresh = (cand != _SENT) & (cand >= 0) & ~dup & ~in_list
+    cd = jnp.where(fresh, jnp.minimum(cand_d, _BIG), _BIG)
+    ci = jnp.where(fresh, cand, -1)
+
+    # ---- merge ranks (stable: best entries precede equal candidates) ----
+    lt_cc = (cd[:, :, None] > cd[:, None, :]) | (
+        (cd[:, :, None] == cd[:, None, :]) & earlier
+    )
+    rank_cc = jnp.sum(lt_cc.astype(f32), axis=2)                     # [B,C]
+    rank_cb = jnp.sum(
+        (best_d[:, None, :] <= cd[:, :, None]).astype(f32), axis=2
+    )
+    pos_c = rank_cb + rank_cc
+    rank_bc = jnp.sum(
+        (cd[:, None, :] < best_d[:, :, None]).astype(f32), axis=2
+    )
+    pos_b = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk, l), 1).astype(f32) + rank_bc
+    )
+
+    # ---- inverse permutation via one-hot matmul, payloads via one matmul ----
+    pos_all = jnp.concatenate([pos_b, pos_c], axis=1)                # [B,T]
+    out_p = jax.lax.broadcasted_iota(jnp.int32, (blk, l, t), 1).astype(f32)
+    onehot = (pos_all[:, None, :] == out_p).astype(f32)              # [B,L,T]
+
+    ids_all = jnp.concatenate([best_i, ci], axis=1)
+    vals = jnp.stack(
+        [
+            jnp.concatenate([best_d, cd], axis=1),
+            (ids_all & 0xFFFF).astype(f32),
+            ((ids_all >> 16) & 0xFFFF).astype(f32),
+            jnp.concatenate(
+                [best_exp.astype(f32), jnp.where(fresh, 0.0, 1.0)], axis=1
+            ),
+        ],
+        axis=-1,
+    )                                                                # [B,T,4]
+    merged = jax.lax.dot_general(
+        onehot, vals, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )                                                                # [B,L,4]
+    # positions >= L never match out_p, so dropped entries contribute zeros;
+    # a zero row would decode as (d=0, id=0): detect via onehot row-sum
+    filled = jnp.sum(onehot, axis=2) > 0                             # [B,L]
+    new_d = jnp.where(
+        filled & (merged[:, :, 0] < _BIG), merged[:, :, 0], jnp.inf
+    )
+    lo = merged[:, :, 1].astype(jnp.int32)
+    hi = merged[:, :, 2].astype(jnp.int32)
+    # ids ride as two unsigned 16-bit halves; id -1 encodes as
+    # (0xFFFF, 0xFFFF) and the int32 recombination wraps back to -1
+    new_i = jnp.where(filled, (hi << 16) | lo, -1)
+    new_e = jnp.where(filled, merged[:, :, 3] > 0.5, True)
+
+    # ---- frontier: W closest unexpanded, marked expanded ----
+    unexp = (~new_e) & (new_i >= 0)
+    uf = unexp.astype(f32)
+    strict_lower = (
+        jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    ).astype(f32)
+    rank_u = jax.lax.dot_general(
+        uf, strict_lower, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                                # [B,L]
+    sel = unexp & (rank_u < w)
+    beam_list = []
+    for wi in range(w):
+        pick = (sel & (rank_u == wi)).astype(f32)                    # [B,L]
+        bid_lo = jnp.sum(pick * (new_i & 0xFFFF).astype(f32), axis=1)
+        bid_hi = jnp.sum(pick * ((new_i >> 16) & 0xFFFF).astype(f32), axis=1)
+        bd = jnp.sum(pick * jnp.where(sel, new_d, 0.0), axis=1)
+        any_pick = jnp.sum(pick, axis=1) > 0
+        bid = (bid_hi.astype(jnp.int32) << 16) | bid_lo.astype(jnp.int32)
+        beam_list.append(
+            (
+                jnp.where(any_pick, bid, -1),
+                jnp.where(any_pick, bd, jnp.inf),
+            )
+        )
+    beam_i = jnp.stack([b for b, _ in beam_list], axis=1)
+    beam_d = jnp.stack([d for _, d in beam_list], axis=1)
+    new_e = new_e | sel
+
+    fresh_n = jnp.sum(fresh.astype(jnp.int32), axis=1)
+    return new_d, new_i, new_e.astype(jnp.int32), beam_i, beam_d, fresh_n
+
+
+def hop_update_ref(best_d, best_i, best_exp, cand, cand_d, w: int) -> HopUpdate:
+    """Pure-jnp reference (test oracle / CPU fallback)."""
+    return HopUpdate(*_core(best_d, best_i, best_exp, cand, cand_d, w))
+
+
+def _kernel(bd_ref, bi_ref, be_ref, c_ref, cd_ref, od, oi, oe, obi, obd, ofn,
+            *, w: int):
+    out = _core(bd_ref[:], bi_ref[:], be_ref[:] != 0, c_ref[:], cd_ref[:], w)
+    od[:], oi[:], oe[:], obi[:], obd[:] = out[0], out[1], out[2], out[3], out[4]
+    ofn[:] = out[5]
+
+
+@partial(jax.jit, static_argnames=("w", "block", "interpret"))
+def hop_update(
+    best_d, best_i, best_exp, cand, cand_d, *, w: int, block: int = 64,
+    interpret: bool = False,
+) -> HopUpdate:
+    """Fused hop update as one pallas_call (grid over query blocks)."""
+    b, l = best_d.shape
+    c = cand.shape[1]
+    assert b % block == 0, (b, block)
+    grid = (b // block,)
+
+    def row_spec(width):
+        return pl.BlockSpec((block, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_kernel, w=w),
+        grid=grid,
+        in_specs=[row_spec(l), row_spec(l), row_spec(l), row_spec(c),
+                  row_spec(c)],
+        out_specs=(
+            row_spec(l), row_spec(l), row_spec(l), row_spec(w), row_spec(w),
+            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l), jnp.float32),
+            jax.ShapeDtypeStruct((b, l), jnp.int32),
+            jax.ShapeDtypeStruct((b, l), jnp.int32),
+            jax.ShapeDtypeStruct((b, w), jnp.int32),
+            jax.ShapeDtypeStruct((b, w), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        ),
+        interpret=interpret,
+    )(best_d, best_i, (best_exp != 0).astype(jnp.int32), cand, cand_d)
+    return HopUpdate(*out)
