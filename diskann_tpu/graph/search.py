@@ -192,7 +192,14 @@ def beam_search_scored(
         # converged-from-the-start rows: mark everything expanded
         init_exp = jnp.where(query_valid[:, None], init_exp, 1)
 
-    use_fused = fused and dedup == "list" and accept_fn is None
+    import os as _os
+
+    use_fused = (
+        fused
+        and dedup == "list"
+        and accept_fn is None
+        and _os.environ.get("DISKANN_NO_FUSED") != "1"
+    )
     if use_fused:
         return _fused_loop(
             scorer_def, scorer_data, adjacency, q_ctx, queries,
