@@ -161,7 +161,8 @@ def _kernel(bd_ref, bi_ref, be_ref, c_ref, cd_ref, od, oi, oe, obi, obd, ofn,
             *, w: int):
     out = _core(bd_ref[:], bi_ref[:], be_ref[:] != 0, c_ref[:], cd_ref[:], w)
     od[:], oi[:], oe[:], obi[:], obd[:] = out[0], out[1], out[2], out[3], out[4]
-    ofn[:] = out[5]
+    # rank-1 outputs need 128-multiple blocks on TPU; broadcast over W instead
+    ofn[:] = jnp.broadcast_to(out[5][:, None], obi.shape)
 
 
 @partial(jax.jit, static_argnames=("w", "block", "interpret"))
@@ -186,7 +187,7 @@ def hop_update(
                   row_spec(c)],
         out_specs=(
             row_spec(l), row_spec(l), row_spec(l), row_spec(w), row_spec(w),
-            pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
+            row_spec(w),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, l), jnp.float32),
@@ -194,8 +195,8 @@ def hop_update(
             jax.ShapeDtypeStruct((b, l), jnp.int32),
             jax.ShapeDtypeStruct((b, w), jnp.int32),
             jax.ShapeDtypeStruct((b, w), jnp.float32),
-            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((b, w), jnp.int32),
         ),
         interpret=interpret,
     )(best_d, best_i, (best_exp != 0).astype(jnp.int32), cand, cand_d)
-    return HopUpdate(*out)
+    return HopUpdate(out[0], out[1], out[2], out[3], out[4], out[5][:, 0])
