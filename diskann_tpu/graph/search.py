@@ -125,7 +125,7 @@ def beam_search_scored(
     accept_data=None,
     filter_beta: float = 1.0,
     filter_mode: str = "inline",   # "inline" | "multihop"
-    fused: bool = True,        # use the fused Pallas hop kernel when eligible
+    fused: bool = False,       # opt-in fused Pallas hop kernel (see note)
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
@@ -198,6 +198,7 @@ def beam_search_scored(
         fused
         and dedup == "list"
         and accept_fn is None
+        and n < (1 << 24)  # ids ride f32 matmuls exactly below 2^24
         and _os.environ.get("DISKANN_NO_FUSED") != "1"
     )
     if use_fused:
@@ -400,10 +401,13 @@ def _fused_loop(
     *, l, w, r, n, max_hops, p, record_pool,
 ):
     """Search loop built around the fused Pallas hop kernel
-    (`ops/kernels/hop_update.py`): per iteration ONE kernel op does
-    dedup + merge + frontier select; XLA contributes only the adjacency/code
-    gathers and the distance contraction.  dedup="list" semantics."""
-    from diskann_tpu.ops.kernels.hop_update import hop_update, hop_update_ref
+    (`ops/kernels/hop_update.py`): per iteration ONE kernel op does the
+    merge + frontier select; XLA contributes the adjacency/code gathers, the
+    distance contraction and the cheap candidate preparation sorts.
+    dedup="list" semantics."""
+    from diskann_tpu.ops.kernels.hop_update import (
+        hop_update, hop_update_ref, prepare_candidates,
+    )
 
     b = init_d.shape[0]
     interpret = jax.default_backend() != "tpu"
@@ -451,7 +455,7 @@ def _fused_loop(
         else:
             pool_d, pool_i, pool_n = st.pool_d, st.pool_i, st.pool_n
 
-        # expand + score every neighbor (kernel discards dups/members)
+        # expand + score every neighbor (dups/members dropped in prepare)
         if scorer_def.expand is not None:
             cand, cand_d = scorer_def.expand(
                 scorer_data, q_ctx, beam_i, beam_valid
@@ -461,8 +465,8 @@ def _fused_loop(
             nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
             cand = nbrs.reshape(b, w * r)
             cand_d = scorer_def.score(scorer_data, q_ctx, cand, cand >= 0)
-        cand = jnp.where(cand >= 0, cand, _SENTINEL)
 
+        cand, cand_d = prepare_candidates(st.best_i, cand, cand_d)
         ku = kernel(st.best_d, st.best_i, st.best_exp, cand, cand_d, w=w)
 
         new_st = SearchState(
@@ -511,7 +515,7 @@ def beam_search(
     pool_capacity: int = 1,
     record_pool: bool = False,
     dedup: str = "ring",
-    fused: bool = True,
+    fused: bool = False,
     query_valid: jax.Array | None = None,
 ) -> SearchResult:
     """Full-precision beam search (the in-memory provider configuration)."""

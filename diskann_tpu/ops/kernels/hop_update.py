@@ -1,4 +1,10 @@
-"""Fused beam-search hop update: dedup + merge + frontier select in ONE op.
+"""Fused beam-search hop update: merge + frontier select in ONE op.
+
+STATUS: exact-parity with the unfused path (tested), but measured NEUTRAL on
+v5e — ~7.3ms/hop at [4096, L=100, C=256] vs ~6ms unfused: the f32 one-hot
+and rank broadcasts cost as much VMEM traffic as the XLA sorts they replace.
+Kept opt-in (`beam_search_scored(fused=True)`) as the base for an i8-mask /
+MXU-reduction variant.
 
 Replaces ~8 XLA ops per `while` iteration (candidate sort-dedup, best-list
 membership compare, 3-operand merge sort, frontier-position sort, gathers)
@@ -49,30 +55,29 @@ _BIG = 1.0e38
 
 
 def _core(best_d, best_i, best_exp, cand, cand_d, w: int):
-    """Shared math (runs inside the kernel AND as the jnp reference)."""
+    """Shared math (runs inside the kernel AND as the jnp reference).
+
+    PRECONDITION: (cand, cand_d) are sorted ascending by cand_d with
+    dropped candidates (duplicates / best-list members / padding) already
+    masked to d >= _BIG — the caller does this with one cheap XLA sort so
+    the kernel needs no O(C^2) comparisons: a candidate's rank among
+    candidates IS its index.
+
+    Mask discipline: every logical intermediate is an f32/i32 0/1 mask —
+    Mosaic rejects stored-bool round trips (`arith.trunci i8 -> i1`), so
+    AND is `*`, OR is `maximum`, NOT is `1 - x`, ANY is `max` reduce."""
     blk, l = best_d.shape
     c = cand.shape[1]
     t = l + c
     f32 = jnp.float32
     best_d = jnp.minimum(best_d, _BIG)
 
-    # ---- dedup: intra-hop duplicates + membership in the best list ----
-    eq_cc = cand[:, :, None] == cand[:, None, :]                     # [B,C,C]
-    earlier = (
-        jax.lax.broadcasted_iota(jnp.int32, (blk, c, c), 2)
-        < jax.lax.broadcasted_iota(jnp.int32, (blk, c, c), 1)
-    )
-    dup = jnp.any(eq_cc & earlier, axis=2)
-    in_list = jnp.any(cand[:, :, None] == best_i[:, None, :], axis=2)
-    fresh = (cand != _SENT) & (cand >= 0) & ~dup & ~in_list
-    cd = jnp.where(fresh, jnp.minimum(cand_d, _BIG), _BIG)
-    ci = jnp.where(fresh, cand, -1)
+    fresh = (cand_d < _BIG).astype(f32) * (cand >= 0).astype(f32)    # [B,C] 0/1
+    cd = jnp.minimum(cand_d, _BIG) * fresh + _BIG * (1.0 - fresh)
+    ci = jnp.where(fresh > 0.5, cand, -1)
 
     # ---- merge ranks (stable: best entries precede equal candidates) ----
-    lt_cc = (cd[:, :, None] > cd[:, None, :]) | (
-        (cd[:, :, None] == cd[:, None, :]) & earlier
-    )
-    rank_cc = jnp.sum(lt_cc.astype(f32), axis=2)                     # [B,C]
+    rank_cc = jax.lax.broadcasted_iota(jnp.int32, (blk, c), 1).astype(f32)
     rank_cb = jnp.sum(
         (best_d[:, None, :] <= cd[:, :, None]).astype(f32), axis=2
     )
@@ -89,77 +94,91 @@ def _core(best_d, best_i, best_exp, cand, cand_d, w: int):
     out_p = jax.lax.broadcasted_iota(jnp.int32, (blk, l, t), 1).astype(f32)
     onehot = (pos_all[:, None, :] == out_p).astype(f32)              # [B,L,T]
 
+    # ids ride the matmul directly as f32 — exact for |id| < 2^24 (the fused
+    # path is gated to indexes under 16M points per device/shard)
     ids_all = jnp.concatenate([best_i, ci], axis=1)
     vals = jnp.stack(
         [
             jnp.concatenate([best_d, cd], axis=1),
-            (ids_all & 0xFFFF).astype(f32),
-            ((ids_all >> 16) & 0xFFFF).astype(f32),
+            ids_all.astype(f32),
             jnp.concatenate(
-                [best_exp.astype(f32), jnp.where(fresh, 0.0, 1.0)], axis=1
+                [best_exp.astype(f32), 1.0 - fresh], axis=1
             ),
         ],
         axis=-1,
-    )                                                                # [B,T,4]
+    )                                                                # [B,T,3]
     merged = jax.lax.dot_general(
         onehot, vals, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=f32,
-    )                                                                # [B,L,4]
+    )                                                                # [B,L,3]
     # positions >= L never match out_p, so dropped entries contribute zeros;
     # a zero row would decode as (d=0, id=0): detect via onehot row-sum
-    filled = jnp.sum(onehot, axis=2) > 0                             # [B,L]
-    new_d = jnp.where(
-        filled & (merged[:, :, 0] < _BIG), merged[:, :, 0], jnp.inf
-    )
-    lo = merged[:, :, 1].astype(jnp.int32)
-    hi = merged[:, :, 2].astype(jnp.int32)
-    # ids ride as two unsigned 16-bit halves; id -1 encodes as
-    # (0xFFFF, 0xFFFF) and the int32 recombination wraps back to -1
-    new_i = jnp.where(filled, (hi << 16) | lo, -1)
-    new_e = jnp.where(filled, merged[:, :, 3] > 0.5, True)
+    filled = jnp.sum(onehot, axis=2)                                 # [B,L] 0/1
+    live = filled * (merged[:, :, 0] < _BIG).astype(f32)
+    new_d = jnp.where(live > 0.5, merged[:, :, 0], jnp.inf)
+    new_i = jnp.where(filled > 0.5, merged[:, :, 1].astype(jnp.int32), -1)
+    new_e = jnp.maximum(
+        merged[:, :, 2] * filled, 1.0 - filled
+    )                                                                # [B,L] 0/1
+    new_e = jnp.minimum(new_e + (1.0 - filled), 1.0)
 
     # ---- frontier: W closest unexpanded, marked expanded ----
-    unexp = (~new_e) & (new_i >= 0)
-    uf = unexp.astype(f32)
+    unexp = (1.0 - new_e) * (new_i >= 0).astype(f32)                 # [B,L] 0/1
     strict_lower = (
         jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
         < jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
     ).astype(f32)
     rank_u = jax.lax.dot_general(
-        uf, strict_lower, (((1,), (0,)), ((), ())),
+        unexp, strict_lower, (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     )                                                                # [B,L]
-    sel = unexp & (rank_u < w)
+    sel = unexp * (rank_u < w).astype(f32)
+    ids_f = new_i.astype(f32)
+    safe_d = jnp.where(jnp.isfinite(new_d), new_d, 0.0)
     beam_list = []
     for wi in range(w):
-        pick = (sel & (rank_u == wi)).astype(f32)                    # [B,L]
-        bid_lo = jnp.sum(pick * (new_i & 0xFFFF).astype(f32), axis=1)
-        bid_hi = jnp.sum(pick * ((new_i >> 16) & 0xFFFF).astype(f32), axis=1)
-        bd = jnp.sum(pick * jnp.where(sel, new_d, 0.0), axis=1)
-        any_pick = jnp.sum(pick, axis=1) > 0
-        bid = (bid_hi.astype(jnp.int32) << 16) | bid_lo.astype(jnp.int32)
+        pick = sel * (rank_u == wi).astype(f32)                      # [B,L]
+        bid = jnp.sum(pick * ids_f, axis=1).astype(jnp.int32)
+        bd = jnp.sum(pick * safe_d, axis=1)
+        any_pick = jnp.sum(pick, axis=1)
         beam_list.append(
             (
-                jnp.where(any_pick, bid, -1),
-                jnp.where(any_pick, bd, jnp.inf),
+                jnp.where(any_pick > 0.5, bid, -1),
+                jnp.where(any_pick > 0.5, bd, jnp.inf),
             )
         )
     beam_i = jnp.stack([b for b, _ in beam_list], axis=1)
     beam_d = jnp.stack([d for _, d in beam_list], axis=1)
-    new_e = new_e | sel
+    new_e = jnp.minimum(new_e + sel, 1.0)
 
-    fresh_n = jnp.sum(fresh.astype(jnp.int32), axis=1)
+    fresh_n = jnp.sum(fresh, axis=1).astype(jnp.int32)
     return new_d, new_i, new_e.astype(jnp.int32), beam_i, beam_d, fresh_n
 
 
+def prepare_candidates(best_i, cand, cand_d):
+    """XLA-side preprocessing for the kernel's precondition: mask duplicates,
+    best-list members and padding to d=_BIG, then sort by distance.  Two
+    cheap multi-operand sorts + one membership compare."""
+    cand = jnp.where(cand >= 0, cand, _SENT)
+    cid, cdd = jax.lax.sort((cand, cand_d), dimension=-1, num_keys=1)
+    left = jnp.concatenate([jnp.full_like(cid[:, :1], -2), cid[:, :-1]], axis=1)
+    dup = cid == left
+    in_list = jnp.any(cid[:, :, None] == best_i[:, None, :], axis=2)
+    ok = (cid != _SENT) & ~dup & ~in_list
+    cdd = jnp.where(ok, jnp.minimum(cdd, _BIG), _BIG)
+    cdd, cid = jax.lax.sort((cdd, cid), dimension=-1, num_keys=1)
+    return cid, cdd
+
+
 def hop_update_ref(best_d, best_i, best_exp, cand, cand_d, w: int) -> HopUpdate:
-    """Pure-jnp reference (test oracle / CPU fallback)."""
+    """Pure-jnp reference (test oracle / CPU fallback).
+    Expects PREPARED candidates (see `prepare_candidates`)."""
     return HopUpdate(*_core(best_d, best_i, best_exp, cand, cand_d, w))
 
 
 def _kernel(bd_ref, bi_ref, be_ref, c_ref, cd_ref, od, oi, oe, obi, obd, ofn,
             *, w: int):
-    out = _core(bd_ref[:], bi_ref[:], be_ref[:] != 0, c_ref[:], cd_ref[:], w)
+    out = _core(bd_ref[:], bi_ref[:], be_ref[:], c_ref[:], cd_ref[:], w)
     od[:], oi[:], oe[:], obi[:], obd[:] = out[0], out[1], out[2], out[3], out[4]
     # rank-1 outputs need 128-multiple blocks on TPU; broadcast over W instead
     ofn[:] = jnp.broadcast_to(out[5][:, None], obi.shape)
@@ -167,7 +186,7 @@ def _kernel(bd_ref, bi_ref, be_ref, c_ref, cd_ref, od, oi, oe, obi, obd, ofn,
 
 @partial(jax.jit, static_argnames=("w", "block", "interpret"))
 def hop_update(
-    best_d, best_i, best_exp, cand, cand_d, *, w: int, block: int = 64,
+    best_d, best_i, best_exp, cand, cand_d, *, w: int, block: int = 32,
     interpret: bool = False,
 ) -> HopUpdate:
     """Fused hop update as one pallas_call (grid over query blocks)."""
@@ -198,5 +217,8 @@ def hop_update(
             jax.ShapeDtypeStruct((b, w), jnp.int32),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * (1 << 20),
+        ),
     )(best_d, best_i, (best_exp != 0).astype(jnp.int32), cand, cand_d)
     return HopUpdate(out[0], out[1], out[2], out[3], out[4], out[5][:, 0])

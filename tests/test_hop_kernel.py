@@ -7,7 +7,9 @@ import pytest
 
 from diskann_tpu.graph.search import beam_search
 from diskann_tpu.ops.distance import Metric, squared_norms
-from diskann_tpu.ops.kernels.hop_update import hop_update, hop_update_ref
+from diskann_tpu.ops.kernels.hop_update import (
+    hop_update, hop_update_ref, prepare_candidates,
+)
 
 from test_search import random_graph
 
@@ -24,27 +26,28 @@ def make_state(rng, b, l, c, nmax=10_000):
     cand[:, 0] = bi[:, 0]          # guaranteed in-list dup
     cand[:, 1] = cand[:, 2]        # guaranteed intra dup
     cd = np.abs(rng.standard_normal((b, c))).astype(np.float32)
-    return (jnp.asarray(bd), jnp.asarray(bi), jnp.asarray(be),
-            jnp.asarray(cand), jnp.asarray(cd))
+    pc, pd = prepare_candidates(
+        jnp.asarray(bi), jnp.asarray(cand), jnp.asarray(cd)
+    )
+    return (jnp.asarray(bd), jnp.asarray(bi), jnp.asarray(be), pc, pd)
 
 
 def test_ref_matches_manual_merge(rng):
     b, l, c, w = 4, 16, 12, 2
     bd, bi, be, cand, cd = make_state(rng, b, l, c)
     out = hop_update_ref(bd, bi, be, cand, cd, w)
+    BIG = 1.0e38
     for row in range(b):
-        # manual: dedup then stable merge, truncate to L
-        seen = set(np.asarray(bi)[row].tolist())
+        # manual: stable merge of prepared candidates, truncate to L
         ents = [(float(d), int(i), int(e)) for d, i, e in
                 zip(np.asarray(bd)[row], np.asarray(bi)[row], np.asarray(be)[row])
                 if i >= 0]
         for j in range(c):
             cid = int(np.asarray(cand)[row, j])
-            if cid == 2**31 - 1 or cid < 0 or cid in seen:
+            dj = float(np.asarray(cd)[row, j])
+            if cid == 2**31 - 1 or cid < 0 or dj >= BIG:
                 continue
-            seen.add(cid)
-            ents.append((float(np.asarray(cd)[row, j]), cid, 0))
-        import functools
+            ents.append((dj, cid, 0))
         ents = sorted(ents, key=lambda t: t[0])[:l]
         got_i = np.asarray(out.best_i)[row]
         want_i = [i for _, i, _ in ents] + [-1] * (l - len(ents))
