@@ -11,6 +11,8 @@ Components (reference paths):
 - minmax: per-vector training-free SQ (`src/minmax/quantizer.rs:69`)
 - spherical: RaBitQ-style rotated sign quantization (`src/spherical/quantizer.rs:43`)
 - binary: sign/Hamming codes (`src/binary/quantizer.rs`)
+- bits: 1/2/4/8-bit packed code slices + distances over packed words
+  (`src/bits/{slice,distances}.rs`)
 """
 
 from diskann_tpu.quant.kmeans import kmeans, kmeans_pp_init, lloyd
@@ -19,8 +21,18 @@ from diskann_tpu.quant.scalar import ScalarQuantizer, train_scalar
 from diskann_tpu.quant.minmax import MinMaxQuantizer
 from diskann_tpu.quant.spherical import SphericalQuantizer, train_spherical
 from diskann_tpu.quant.binary import BinaryQuantizer
+from diskann_tpu.quant.bits import (
+    dot_packed,
+    hamming_packed,
+    pack_bits,
+    unpack_bits,
+)
 
 __all__ = [
+    "dot_packed",
+    "hamming_packed",
+    "pack_bits",
+    "unpack_bits",
     "kmeans",
     "kmeans_pp_init",
     "lloyd",

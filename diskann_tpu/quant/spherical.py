@@ -25,6 +25,18 @@ class SphericalCodes(NamedTuple):
     cscale: jax.Array   # [N] f32 per-vector code scale (max |u_i|)
 
 
+class SphericalPackedCodes(NamedTuple):
+    """Bit-sliced storage: 1/2/4-bit codes at their true memory footprint
+    (the reference stores sub-byte spherical codes via BitSlice,
+    `diskann-quantization/src/bits/slice.rs`)."""
+
+    words: jax.Array    # [N, W] uint32 packed codes
+    norms: jax.Array    # [N] f32
+    cscale: jax.Array   # [N] f32
+    dim: int
+    n_bits: int
+
+
 class SphericalQuantizer(NamedTuple):
     rotation: jax.Array  # [d, d] orthogonal
     n_bits: int = 8
@@ -43,6 +55,42 @@ class SphericalQuantizer(NamedTuple):
 
     def rotate_query(self, q) -> jax.Array:
         return jnp.asarray(q, jnp.float32) @ self.rotation
+
+    def pack(self, sc: SphericalCodes) -> SphericalPackedCodes:
+        from diskann_tpu.quant.bits import pack_bits
+
+        return SphericalPackedCodes(
+            words=pack_bits(sc.codes, int(self.n_bits)),
+            norms=sc.norms,
+            cscale=sc.cscale,
+            dim=int(sc.codes.shape[-1]),
+            n_bits=int(self.n_bits),
+        )
+
+    def unpack(self, pc: SphericalPackedCodes) -> SphericalCodes:
+        from diskann_tpu.quant.bits import unpack_bits
+
+        codes = unpack_bits(pc.words, pc.n_bits, pc.dim).astype(jnp.uint8)
+        return SphericalCodes(codes=codes, norms=pc.norms, cscale=pc.cscale)
+
+    def adc_l2(self, q, pc: SphericalPackedCodes) -> jax.Array:
+        """Asymmetric squared-L2 against packed codes: [B, d] x [N, W] ->
+        [B, N].  The code's affine decode (code -> (code/levels*2-1) *
+        cscale * norm) folds into one raw-int dot (`bits.dot_packed`) plus
+        per-row constants, so HBM reads only the packed words."""
+        from diskann_tpu.quant.bits import dot_packed
+
+        qr = self.rotate_query(q)                      # [B, d] rotated
+        lv = float(self.levels)
+        raw = dot_packed(qr, pc.words, pc.n_bits, pc.dim)   # [B, N] <q, code>
+        qsum = qr.sum(axis=1, keepdims=True)                # [B, 1]
+        # <q, y_hat> = norm*cscale * (2/levels * raw - qsum)
+        dot_qy = pc.norms[None, :] * pc.cscale[None, :] * (
+            (2.0 / lv) * raw - qsum
+        )
+        qsq = jnp.sum(qr * qr, axis=1, keepdims=True)
+        # ||y_hat||^2 ~= norm^2 (codes live near the unit sphere)
+        return qsq + (pc.norms**2)[None, :] - 2.0 * dot_qy
 
 
 def train_spherical(key: jax.Array, dim: int, n_bits: int = 8) -> SphericalQuantizer:

@@ -111,3 +111,64 @@ def test_binary_hamming(rng):
     signs = x >= 0
     for i, j in [(0, 1), (3, 7), (10, 49)]:
         assert h[i, j] == (signs[i] != signs[j]).sum()
+
+
+@pytest.mark.parametrize("n_bits", [1, 2, 4, 8])
+def test_bits_pack_roundtrip(rng, n_bits):
+    from diskann_tpu.quant.bits import pack_bits, unpack_bits, words_per_row
+
+    d = 37  # deliberately not word-aligned
+    codes = rng.integers(0, 1 << n_bits, size=(20, d)).astype(np.int32)
+    words = pack_bits(jnp.asarray(codes), n_bits)
+    assert words.shape == (20, words_per_row(d, n_bits))
+    back = np.asarray(unpack_bits(words, n_bits, d))
+    np.testing.assert_array_equal(back, codes)
+
+
+@pytest.mark.parametrize("n_bits", [2, 4])
+def test_bits_dot_packed_matches_unpacked(rng, n_bits):
+    from diskann_tpu.quant.bits import dot_packed, pack_bits
+
+    d = 24
+    codes = rng.integers(0, 1 << n_bits, size=(15, d)).astype(np.int32)
+    q = rng.standard_normal((6, d)).astype(np.float32)
+    words = pack_bits(jnp.asarray(codes), n_bits)
+    got = np.asarray(dot_packed(jnp.asarray(q), words, n_bits, d))
+    want = q @ codes.T.astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_bits_hamming_matches_binary_quantizer(rng):
+    from diskann_tpu.quant.bits import hamming_packed
+
+    x = rng.standard_normal((30, 64)).astype(np.float32)
+    bq = BinaryQuantizer(dim=64)
+    codes = bq.encode(x)
+    np.testing.assert_array_equal(
+        np.asarray(hamming_packed(codes, codes)),
+        np.asarray(bq.hamming(codes, codes)),
+    )
+
+
+@pytest.mark.parametrize("n_bits", [2, 4])
+def test_spherical_packed_adc(rng, n_bits):
+    """Packed sub-byte spherical ADC ranks neighbors like exact L2."""
+    d = 32
+    sph = train_spherical(jax.random.key(5), d, n_bits=n_bits)
+    x = rng.standard_normal((200, d)).astype(np.float32)
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    sc = sph.encode(x)
+    pc = sph.pack(sc)
+    # pack/unpack is lossless on the uint8 codes
+    back = sph.unpack(pc)
+    np.testing.assert_array_equal(np.asarray(back.codes), np.asarray(sc.codes))
+    approx = np.asarray(sph.adc_l2(jnp.asarray(q), pc))    # [B, N]
+    exact = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    # ADC distance approximates exact L2 against the DECODED vectors; check
+    # top-10-by-approx overlaps top-10-by-exact substantially
+    for b in range(4):
+        top_a = set(np.argsort(approx[b])[:10].tolist())
+        top_e = set(np.argsort(exact[b])[:10].tolist())
+        overlap = len(top_a & top_e)
+        min_overlap = 6 if n_bits >= 4 else 4
+        assert overlap >= min_overlap, (n_bits, b, overlap)
