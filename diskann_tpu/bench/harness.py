@@ -142,7 +142,116 @@ def default_registry() -> Registry:
         dt = time.time() - t0
         return {"qps": nq / dt, "recall": 1.0}
 
+    def filters_job(job: dict) -> dict:
+        """Filtered-search family (reference `diskann-benchmark/src/filters`)."""
+        rng = np.random.default_rng(job.get("seed", 0))
+        n = job.get("n", 20_000)
+        d = job.get("dim", 32)
+        nq = job.get("n_queries", 200)
+        labels = job.get("labels", ["red", "green", "blue", "round"])
+        predicate = job.get("predicate", labels[0])
+        x, q = make_clustered(job.get("seed", 0), n, nq, d)
+        cfg = GraphConfig(
+            max_degree=job.get("max_degree", 32),
+            l_build=job.get("l_build", 64),
+        )
+        idx = GraphIndex.build(
+            x, cfg, insert_batch_size=job.get("insert_batch_size", 1024)
+        )
+        per_point = [
+            [l for l in labels if rng.random() < 0.3] for _ in range(n)
+        ]
+        idx.attach_labels(per_point)
+        k = job.get("k", 10)
+        # exact filtered groundtruth by brute force over matching points
+        from diskann_tpu.filters import parse_predicate
+        from diskann_tpu.filters.compile import compile_accept
+        import jax.numpy as jnp
+
+        pred = parse_predicate(predicate)
+        accept = compile_accept(pred, idx.labels.vocab, idx.state.capacity)
+        match = np.asarray(
+            accept(idx.labels.bits, jnp.arange(idx.state.capacity),
+                   jnp.ones((idx.state.capacity,), bool))
+        )[:n]
+        sub = np.nonzero(match)[0]
+        flat = FlatIndex(x[sub], cfg.metric)
+        _, gt_local = flat.search(q, k=k)
+        gt = np.where(gt_local >= 0, sub[np.clip(gt_local, 0, len(sub) - 1)], -1)
+        idx.search_filtered(q[:8], predicate, k)  # compile
+        t0 = time.time()
+        _, ids, stats = idx.search_filtered(
+            q, predicate, k, l_search=job.get("search_l", 100),
+            method=job.get("method", "inline"),
+        )
+        dt = time.time() - t0
+        return {
+            "selectivity": float(match.mean()),
+            "recall": knn_recall(ids, gt, k),
+            "qps": nq / dt,
+            "mean_cmps": float(stats.cmps.mean()),
+        }
+
+    def multivec_job(job: dict) -> dict:
+        """Multi-vector (Chamfer/MaxSim) family
+        (reference `diskann-benchmark/src/multi_vector`)."""
+        from diskann_tpu.ops.multivec import FlatMultiVectorIndex
+
+        rng = np.random.default_rng(job.get("seed", 0))
+        n_docs = job.get("n_docs", 2000)
+        tpd = job.get("tokens_per_doc", 16)
+        d = job.get("dim", 64)
+        nq = job.get("n_queries", 50)
+        docs = [rng.standard_normal((tpd, d)).astype(np.float32)
+                for _ in range(n_docs)]
+        qs = [rng.standard_normal((tpd, d)).astype(np.float32)
+              for _ in range(nq)]
+        idx = FlatMultiVectorIndex(docs, metric=job.get("kind", "maxsim"))
+        idx.search(qs[:4], k=job.get("k", 10))  # compile
+        t0 = time.time()
+        idx.search(qs, k=job.get("k", 10))
+        dt = time.time() - t0
+        return {"qps": nq / dt, "n_docs": n_docs, "tokens_per_doc": tpd}
+
+    def streaming_job(job: dict) -> dict:
+        """Streaming churn family (reference
+        `diskann-benchmark-core/src/streaming`): insert/delete/search steps."""
+        from diskann_tpu.bench.runbook import RunbookExecutor
+
+        n = job.get("n", 20_000)
+        d = job.get("dim", 32)
+        nq = job.get("n_queries", 200)
+        x, q = make_clustered(job.get("seed", 0), n, nq, d)
+        cfg = GraphConfig(
+            max_degree=job.get("max_degree", 32),
+            l_build=job.get("l_build", 64),
+        )
+        idx = GraphIndex(d, cfg, insert_batch_size=job.get(
+            "insert_batch_size", 1024))
+        ex = RunbookExecutor(idx, x, q, k=job.get("k", 10))
+        steps = job.get("steps") or [
+            {"operation": "insert", "start": 0, "end": n // 2},
+            {"operation": "search"},
+            {"operation": "delete", "start": 0, "end": n // 4},
+            {"operation": "insert", "start": n // 2, "end": n},
+            {"operation": "search"},
+            {"operation": "consolidate"},
+            {"operation": "search"},
+        ]
+        log = ex.run(steps)
+        return {"log": log}
+
+    from diskann_tpu.bench.kernels import kernels_job
+
     reg.register("graph-index", graph_index_job,
                  "build + search sweep on synthetic clustered data")
     reg.register("flat", flat_job, "brute-force scan throughput")
+    reg.register("kernels", kernels_job,
+                 "device-kernel microbenchmarks (SIMD-bench analogue)")
+    reg.register("filters", filters_job,
+                 "label-filtered search recall/QPS")
+    reg.register("multi-vector", multivec_job,
+                 "Chamfer/MaxSim multi-vector scan throughput")
+    reg.register("streaming", streaming_job,
+                 "streaming churn runbook with recall checkpoints")
     return reg

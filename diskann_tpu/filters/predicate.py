@@ -62,7 +62,7 @@ class Not(Predicate):
         return (~self.inner.evaluate(labelset, ids, valid)) & valid
 
 
-_TOKEN = re.compile(r"\s*(\(|\)|\||&|!|AND\b|OR\b|NOT\b|[A-Za-z0-9_.:\-]+)")
+_TOKEN = re.compile(r"\s*(\(|\)|\||&|!|~|AND\b|OR\b|NOT\b|[A-Za-z0-9_.:\-]+)")
 
 
 def _tokenize(s: str) -> list[str]:
@@ -93,7 +93,7 @@ def parse_predicate(s: str) -> Predicate:
 
     def factor() -> Predicate:
         t = peek()
-        if t in ("!", "NOT"):
+        if t in ("!", "~", "NOT"):
             take()
             return Not(factor())
         if t == "(":

@@ -169,6 +169,7 @@ def insert_batch(
             record_pool=True,
             dedup="list",
             query_valid=row_valid,
+            expand_r=packed.r_pack,
         )
     else:
         res = beam_search(

@@ -384,6 +384,7 @@ class GraphIndex:
             l_search=l, beam_width=w, max_hops=self.config.max_hops,
             history_capacity=self.config.history_capacity(l),
             dedup="list" if w > 1 else "ring",
+            expand_r=self.packed.r_pack if mode == "packed" else None,
         )
         # full-precision rerank of the top-L (RerankAndFilter,
         # disk_provider.rs:292): one gather + one sort, then filter deleted

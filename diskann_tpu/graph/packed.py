@@ -42,6 +42,22 @@ class PackedState(NamedTuple):
     def dp(self) -> int:
         return self.proj.shape[1]
 
+    @property
+    def r_pack(self) -> int:
+        """Neighbor slots per packed row (>= graph R_slack): rows are padded
+        so r_pack * dp is a multiple of 128 bytes — the int8 (32, 128) tile
+        minor dim.  Misaligned rows gather ~15% slower (measured on v5e:
+        8.68 -> 7.45 ms/hop at R=83 vs 84, dp=64)."""
+        return self.nbr_aux.shape[1]
+
+
+def padded_degree(r_slack: int, dp: int) -> int:
+    """Smallest r >= r_slack with (r * dp) % 128 == 0."""
+    import math
+
+    step = 128 // math.gcd(dp, 128)
+    return -(-r_slack // step) * step
+
 
 def train_packed(
     vectors: np.ndarray, dp: int, metric: Metric, *, sigma: float = 4.0
@@ -66,14 +82,15 @@ def train_packed(
 
 def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
     dp = proj.shape[1]
+    rp = padded_degree(r_slack, dp)
     return PackedState(
         proj=proj,
         pscale=pscale,
         pbias2=pbias2,
         self_codes=jnp.zeros((capacity, dp), jnp.int8),
         self_aux=jnp.zeros((capacity,), jnp.float32),
-        nbr_codes=jnp.zeros((capacity, r_slack * dp), jnp.int8),
-        nbr_aux=jnp.full((capacity, r_slack), jnp.inf, jnp.float32),
+        nbr_codes=jnp.zeros((capacity, rp * dp), jnp.int8),
+        nbr_aux=jnp.full((capacity, rp), jnp.inf, jnp.float32),
     )
 
 
@@ -103,11 +120,16 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     """Rebuild full packed rows for `rows` from current adjacency."""
     cap, r_slack = adjacency.shape
     dp = packed.dp
+    rp = packed.r_pack
     rows = jnp.asarray(rows, jnp.int32)
     safe_rows = jnp.clip(rows, 0, cap - 1)
     arows = adjacency[safe_rows]                       # [T, Rs]
+    if rp > r_slack:  # tile-alignment pad slots stay empty
+        arows = jnp.pad(
+            arows, ((0, 0), (0, rp - r_slack)), constant_values=-1
+        )
     safe = jnp.clip(arows, 0, cap - 1)
-    codes = packed.self_codes[safe].reshape(rows.shape[0], r_slack * dp)
+    codes = packed.self_codes[safe].reshape(rows.shape[0], rp * dp)
     aux = jnp.where(arows >= 0, packed.self_aux[safe], jnp.inf)
     w = jnp.where((rows >= 0) & (rows < cap), rows, cap)
     return packed._replace(

@@ -235,13 +235,18 @@ def _packed_expand(metric: Metric):
         qi, qscale, qsq = q_ctx
         n, rdp = nbr_codes.shape
         r = adjacency.shape[1]
-        dp = rdp // r
+        dp = proj.shape[1]
+        rp = rdp // dp          # packed slots/row (tile-aligned, >= r)
         b, w = beam_ids.shape
         safe = jnp.clip(beam_ids, 0, n - 1)
         nbrs = adjacency[safe]                                   # [B, W, R]
         nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
-        codes = nbr_codes[safe].reshape(b, w * r, dp)            # one row/node
-        aux = nbr_aux[safe].reshape(b, w * r)
+        if rp > r:
+            nbrs = jnp.pad(
+                nbrs, ((0, 0), (0, 0), (0, rp - r)), constant_values=-1
+            )
+        codes = nbr_codes[safe].reshape(b, w * rp, dp)           # one row/node
+        aux = nbr_aux[safe].reshape(b, w * rp)
         dots_i = jax.lax.dot_general(
             qi, codes, (((1,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
@@ -251,7 +256,7 @@ def _packed_expand(metric: Metric):
             d = -dots
         else:
             d = jnp.maximum(qsq[:, None] + aux - 2.0 * dots, 0.0)
-        cand = nbrs.reshape(b, w * r)
+        cand = nbrs.reshape(b, w * rp)
         return cand, jnp.where(cand >= 0, d, jnp.inf)
 
     return expand

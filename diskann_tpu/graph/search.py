@@ -105,6 +105,7 @@ class SearchResult(NamedTuple):
         "filter_beta",
         "filter_mode",
         "fused",
+        "expand_r",
     ),
 )
 def beam_search_scored(
@@ -127,6 +128,7 @@ def beam_search_scored(
     filter_mode: str = "inline",   # "inline" | "multihop"
     fused: bool = False,       # opt-in fused Pallas hop kernel (see note)
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
+    expand_r: int | None = None,   # scorer.expand slots/node if != adjacency R
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
 
@@ -141,7 +143,7 @@ def beam_search_scored(
     s = start_ids.shape[0]
     w = beam_width
     l = l_search
-    c = w * r
+    c = w * (expand_r if expand_r is not None else r)
     # ring: one segment for start ids + ring_hops segments of C scored ids
     want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
     ring_hops = max(2, -(-max(want_h - s, c) // c))
