@@ -155,11 +155,7 @@ def insert_batch(
 
     # ---------------- phase 2: candidate generation ----------------
     if packed is not None:
-        sdef, sdata = packed_scorer(
-            state.adjacency, packed.nbr_codes, packed.nbr_aux,
-            packed.proj, packed.pscale, packed.pbias2,
-            packed.self_codes, packed.self_aux, metric,
-        )
+        sdef, sdata = packed_scorer(packed, metric)
         res = beam_search_scored(
             sdef, sdata, state.adjacency, start_ids, new_vecs,
             l_search=config.l_build,

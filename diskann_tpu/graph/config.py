@@ -78,6 +78,14 @@ class GraphConfig:
     # uses a hash set (`scratch.visited`); we use a bounded buffer compared
     # with one broadcasted equality per hop.  0 = auto (4 * l * slack).
     visited_capacity: int = 0
+    # Router start points: instead of one global medoid (the reference's
+    # start-point strategies, `start_point.rs:19-41`), score each query
+    # against `router_size` sampled live nodes with ONE MXU matmul and
+    # start the walk from the `router_starts` nearest — cuts early hops
+    # that every query would otherwise spend descending from the medoid.
+    # 0 disables (falls back to medoid).
+    router_size: int = 8192
+    router_starts: int = 2
 
     def __post_init__(self):
         if self.max_degree <= 0:

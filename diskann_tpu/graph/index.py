@@ -70,6 +70,48 @@ def _filter_deleted(dists, ids, valid, k: int):
     return out_d, out_i
 
 
+@partial(jax.jit, static_argnames=("metric", "n_start"))
+def _router_topk_full(vectors, sq_norms, router_ids, queries,
+                      metric: Metric, n_start: int):
+    """[B, d] queries x [S] router ids -> [B, n_start] nearest router ids."""
+    rv = vectors[router_ids]                      # [S, d]
+    rsq = sq_norms[router_ids]
+    d = _router_dist(queries, rv, rsq, metric)
+    _, top = jax.lax.top_k(-d, n_start)
+    return router_ids[top]
+
+
+def _router_dist(queries, rv, rsq, metric: Metric):
+    q = queries.astype(jnp.float32)
+    dots = q @ rv.astype(jnp.float32).T               # [B, S] one MXU matmul
+    if metric == Metric.InnerProduct:
+        return -dots
+    qsq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return qsq + rsq[None, :] - 2.0 * dots
+
+
+@partial(jax.jit, static_argnames=("metric", "n_start"))
+def _router_topk_packed(self_codes, self_aux, proj, pscale, pbias2,
+                        router_ids, queries, metric: Metric, n_start: int):
+    """Router scored on int8 packed codes (one int8 MXU matmul)."""
+    q = queries.astype(jnp.float32) @ proj
+    qb = q - pbias2[None, :] if metric.needs_norms else q
+    qs = qb * pscale[None, :]
+    qscale = jnp.maximum(jnp.abs(qs).max(axis=1), 1e-20) / 127.0
+    qi = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+    rc = self_codes[router_ids]                       # [S, dp] i8
+    dots = jax.lax.dot_general(
+        qi, rc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * qscale[:, None]
+    if metric == Metric.InnerProduct:
+        d = -dots
+    else:
+        qsq = jnp.sum(qb * qb, axis=-1, keepdims=True)
+        d = qsq + self_aux[router_ids][None, :] - 2.0 * dots
+    _, top = jax.lax.top_k(-d, n_start)
+    return router_ids[top]
+
+
 class GraphIndex:
     """A dynamic Vamana graph index on TPU."""
 
@@ -151,19 +193,13 @@ class GraphIndex:
         new_cap = _round_up(max(needed, int(cap * 1.5)), self.insert_batch_size)
         self.state = graph_state.grow(self.state, new_cap)
         if self.packed is not None:
-            extra = new_cap - cap
-            self.packed = self.packed._replace(
-                self_codes=jnp.pad(self.packed.self_codes, ((0, extra), (0, 0))),
-                self_aux=jnp.pad(self.packed.self_aux, (0, extra)),
-                nbr_codes=jnp.pad(self.packed.nbr_codes, ((0, extra), (0, 0))),
-                nbr_aux=jnp.pad(
-                    self.packed.nbr_aux, ((0, extra), (0, 0)),
-                    constant_values=jnp.inf,
-                ),
-            )
+            from diskann_tpu.graph import packed as packed_mod
+
+            self.packed = packed_mod.grow_packed(self.packed, new_cap)
 
     _cached_start: jax.Array | None = None
     _auto_start: jax.Array | None = None
+    _router_ids: jax.Array | None = None
 
     def _start(self) -> jax.Array:
         if self._cached_start is not None:
@@ -178,6 +214,38 @@ class GraphIndex:
 
     def _invalidate_start(self):
         self._auto_start = None
+        self._router_ids = None
+
+    def _router_starts(self, q_dev, mode: str) -> jax.Array | None:
+        """Per-query entry points: ONE matmul of the query batch against a
+        sampled router set, take the `router_starts` nearest (replaces the
+        medoid descent; reference start-point strategies live in
+        `diskann/src/graph/start_point.rs:19-41` — this is the TPU-native
+        strategy: the matmul is nearly free on the MXU and cuts the early
+        hops every query spends walking down from one global medoid)."""
+        cfg = self.config
+        if cfg.router_size <= 0 or self.n_live < 4 * cfg.router_size:
+            return None
+        if self._cached_start is not None and mode not in ("packed",):
+            return None
+        if self._router_ids is None:
+            valid = np.asarray(self.state.valid[: self.n])
+            live = np.nonzero(valid)[0]
+            rng = np.random.default_rng(0xD15C)
+            sel = rng.choice(live, size=min(cfg.router_size, len(live)),
+                             replace=False)
+            self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
+        if mode == "packed" or getattr(self, "_hbm_vectors_dropped", False):
+            return _router_topk_packed(
+                self.packed.self_codes, self.packed.self_aux,
+                self.packed.proj, self.packed.pscale, self.packed.pbias2,
+                self._router_ids, q_dev, self.config.metric,
+                cfg.router_starts,
+            )
+        return _router_topk_full(
+            self.state.vectors, self.state.sq_norms, self._router_ids,
+            q_dev, self.config.metric, cfg.router_starts,
+        )
 
     # ----------------------------------------------------------------- insert
     def insert(self, vectors) -> np.ndarray:
@@ -264,15 +332,20 @@ class GraphIndex:
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
+            q_dev = jnp.asarray(q)
+            rstart = self._router_starts(q_dev, mode)
             if mode in ("pq", "sq", "packed"):
-                fd, fi, res = self._quant_search_batch(jnp.asarray(q), k, l, w, mode)
+                fd, fi, res = self._quant_search_batch(
+                    q_dev, k, l, w, mode,
+                    start=rstart if rstart is not None else start,
+                )
             elif mode == "full":
                 res = beam_search(
                     self.state.vectors,
                     self.state.sq_norms,
                     self.state.adjacency,
-                    start,
-                    jnp.asarray(q),
+                    rstart if rstart is not None else start,
+                    q_dev,
                     metric=self.config.metric,
                     l_search=l,
                     beam_width=w,
@@ -359,7 +432,7 @@ class GraphIndex:
             p = packed_mod.refresh_rows_donated(p, self.state.adjacency, rows)
         self.packed = p
 
-    def _quant_search_batch(self, q, k, l, w, mode):
+    def _quant_search_batch(self, q, k, l, w, mode, start=None):
         from diskann_tpu.graph.scorers import packed_scorer, pq_scorer, sq_scorer
         from diskann_tpu.graph.search import beam_search_scored
 
@@ -368,19 +441,15 @@ class GraphIndex:
                 self.pq_codes, self.pq.pivots, self.config.metric
             )
         elif mode == "packed":
-            p = self.packed
-            sdef, sdata = packed_scorer(
-                self.state.adjacency, p.nbr_codes, p.nbr_aux,
-                p.proj, p.pscale, p.pbias2,
-                p.self_codes, p.self_aux, self.config.metric,
-            )
+            sdef, sdata = packed_scorer(self.packed, self.config.metric)
         else:
             sdef, sdata = sq_scorer(
                 self.sq_codes, self.sq.scale, self.sq_bias2, self.sq_aux,
                 self.config.metric,
             )
         res = beam_search_scored(
-            sdef, sdata, self.state.adjacency, self._start(), q,
+            sdef, sdata, self.state.adjacency,
+            start if start is not None else self._start(), q,
             l_search=l, beam_width=w, max_hops=self.config.max_hops,
             history_capacity=self.config.history_capacity(l),
             dedup="list" if w > 1 else "ring",

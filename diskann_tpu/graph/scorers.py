@@ -205,19 +205,18 @@ def sq_scorer(codes_i8, scale, bias2, aux, metric: Metric):
     return _SQ_DEFS[metric], (codes_i8, scale, bias2, aux)
 
 
-# --------------------------------------------------------------- packed int8
-# Packed neighbor-code layout: for every node, the int8 codes (projected to
-# dp dims) of all its neighbors are stored contiguously in one row:
-#   nbr_codes [N, R * dp] i8     nbr_aux [N, R] f32 (||code||^2 terms)
-# Expanding a beam node costs ONE ~2-8KB row gather instead of R separate
-# 32-128B gathers — ~R x fewer rows, which is the actual gather cost model
-# on TPU.  Distances are int8 dots on the MXU against the projected,
-# quantized query.  This trades HBM capacity (R copies of each code) for
-# bandwidth, exactly like the reference's sector layout duplicates data to
-# make one SSD read serve a whole expansion.
+# ------------------------------------------------------------ packed fat-row
+# Fat-row layout (`graph/packed.py`): one int8 row per node holds the ids,
+# aux terms and int8 codes of ALL its neighbors.  Expanding a beam node is
+# ONE row gather + in-register slice/bitcast decode — the TPU gather cost
+# model is per-row issue, so folding the reference's three lookups
+# (adjacency, aux, codes) into one row is a measured ~30% hop win on v5e.
+# Distances are int8 dots against the projected, quantized query.  This
+# trades HBM capacity for row count exactly like the reference's sector
+# layout duplicates data so one SSD read serves a whole expansion.
 def _packed_prep(metric: Metric):
     def prep(data, queries):
-        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2 = data
+        rows, proj, pscale, pbias2, self_codes, self_aux = data
         q = queries.astype(jnp.float32) @ proj          # [B, dp]
         qb = q - pbias2[None, :] if metric.needs_norms else q
         qs = qb * pscale[None, :]
@@ -229,56 +228,24 @@ def _packed_prep(metric: Metric):
     return prep
 
 
-def _packed_expand(metric: Metric):
-    def expand(data, q_ctx, beam_ids, beam_valid):
-        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2 = data
-        qi, qscale, qsq = q_ctx
-        n, rdp = nbr_codes.shape
-        r = adjacency.shape[1]
-        dp = proj.shape[1]
-        rp = rdp // dp          # packed slots/row (tile-aligned, >= r)
-        b, w = beam_ids.shape
-        safe = jnp.clip(beam_ids, 0, n - 1)
-        nbrs = adjacency[safe]                                   # [B, W, R]
-        nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
-        if rp > r:
-            nbrs = jnp.pad(
-                nbrs, ((0, 0), (0, 0), (0, rp - r)), constant_values=-1
-            )
-        codes = nbr_codes[safe].reshape(b, w * rp, dp)           # one row/node
-        aux = nbr_aux[safe].reshape(b, w * rp)
-        dots_i = jax.lax.dot_general(
-            qi, codes, (((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )
-        dots = dots_i.astype(jnp.float32) * qscale[:, None]
-        if metric == Metric.InnerProduct:
-            d = -dots
-        else:
-            d = jnp.maximum(qsq[:, None] + aux - 2.0 * dots, 0.0)
-        cand = nbrs.reshape(b, w * rp)
-        return cand, jnp.where(cand >= 0, d, jnp.inf)
-
-    return expand
-
-
 _PACKED_DEFS = {}
 
 
-def packed_scorer(
-    adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2, self_codes,
-    self_aux, metric: Metric,
-):
-    """Packed neighbor-code scorer.  `self_codes [N, dp] i8` (+ aux) score
-    arbitrary ids (start points); `nbr_codes [N, R*dp]` serve expansion."""
-    key = metric
+def packed_scorer(packed, metric: Metric):
+    """Fat-row packed scorer over a `PackedState`.  `self_codes [N, dp]`
+    (+ aux) score arbitrary ids (start points); `rows [N, row_bytes]` serve
+    beam expansion with one gather per node."""
+    from diskann_tpu.graph.packed import bytes_to_f32, bytes_to_i32
+
+    rp, dp = packed.r_pack, packed.dp
+    key = (metric, rp, dp)
     if key not in _PACKED_DEFS:
         prep = _packed_prep(metric)
+        aux_off, code_off = rp * 4, rp * 8
 
         def score(data, q_ctx, ids, valid):
             # per-id scoring for start points: plain int8 row gather
-            (adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2,
-             self_codes, self_aux) = data
+            rows, proj, pscale, pbias2, self_codes, self_aux = data
             qi, qscale, qsq = q_ctx
             n = self_codes.shape[0]
             safe = jnp.clip(jnp.where(valid, ids, 0), 0, n - 1)
@@ -294,17 +261,68 @@ def packed_scorer(
                 d = jnp.maximum(qsq[:, None] + self_aux[safe] - 2.0 * dots, 0.0)
             return jnp.where(valid, d, jnp.inf)
 
-        def expand(data, q_ctx, beam_ids, beam_valid):
-            inner = data[:6]
-            return _packed_expand(metric)(inner, q_ctx, beam_ids, beam_valid)
+        def _finish(cand, aux, dots_f32, qsq, beam_valid, b, w):
+            cand = jnp.where(
+                beam_valid.reshape(b, w, 1) > 0,
+                cand.reshape(b, w, rp), -1,
+            ).reshape(b, w * rp)
+            if metric == Metric.InnerProduct:
+                d = -dots_f32
+            else:
+                d = jnp.maximum(qsq[:, None] + aux - 2.0 * dots_f32, 0.0)
+            return cand, jnp.where(cand >= 0, d, jnp.inf)
 
-        def prep_outer(data, queries):
-            return prep(data[:6], queries)
+        def expand(data, q_ctx, beam_ids, beam_valid):
+            import os
+
+            rows, proj, pscale, pbias2, self_codes, self_aux = data
+            qi, qscale, qsq = q_ctx
+            n = rows.shape[0]
+            b, w = beam_ids.shape
+            # opt-in while the Mosaic lowering of single-row DMAs from a
+            # (8,128)-tiled HBM table is unresolved (see kernels/fatrow_expand)
+            use_kernel = (
+                jax.default_backend() == "tpu"
+                and (b * w) % 512 == 0
+                and os.environ.get("DISKANN_FATKERNEL") == "1"
+            )
+            if use_kernel:
+                # fused Pallas expand: pipelined row DMAs + in-VMEM int8
+                # scoring; the gathered bytes never round-trip through HBM
+                from diskann_tpu.ops.kernels.fatrow_expand import fatrow_expand
+
+                beam_flat = jnp.clip(beam_ids, 0, n - 1).reshape(b * w)
+                qiw = jnp.repeat(qi, w, axis=0)          # loop-invariant
+                hdr, dots_i = fatrow_expand(
+                    rows, beam_flat, qiw, rp=rp, dp=dp
+                )
+                cand = bytes_to_i32(hdr[:, : rp * 4], rp).reshape(b, w * rp)
+                aux = bytes_to_f32(hdr[:, rp * 4 :], rp).reshape(b, w * rp)
+                dots = (
+                    dots_i.reshape(b, w * rp).astype(jnp.float32)
+                    * qscale[:, None]
+                )
+                return _finish(
+                    cand, aux, dots, qsq, beam_valid, b, w
+                )
+            safe = jnp.clip(beam_ids, 0, n - 1)
+            fat = rows[safe]                               # [B, W, ROW]
+            cand = bytes_to_i32(fat[:, :, :aux_off], rp).reshape(b, w * rp)
+            aux = bytes_to_f32(fat[:, :, aux_off:code_off], rp).reshape(b, w * rp)
+            codes = fat[:, :, code_off : code_off + rp * dp].reshape(
+                b, w * rp, dp
+            )
+            dots_i = jax.lax.dot_general(
+                qi, codes, (((1,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            dots = dots_i.astype(jnp.float32) * qscale[:, None]
+            return _finish(cand, aux, dots, qsq, beam_valid, b, w)
 
         _PACKED_DEFS[key] = ScorerDef(
-            f"packed:{metric.value}", prep_outer, score, expand=expand
+            f"packed:{metric.value}:{rp}x{dp}", prep, score, expand=expand
         )
     return _PACKED_DEFS[key], (
-        adjacency, nbr_codes, nbr_aux, proj, pscale, pbias2,
-        self_codes, self_aux,
+        packed.rows, packed.proj, packed.pscale, packed.pbias2,
+        packed.self_codes, packed.self_aux,
     )

@@ -140,7 +140,7 @@ def beam_search_scored(
     b = queries.shape[0]
     n = adjacency.shape[0]
     r = adjacency.shape[1]
-    s = start_ids.shape[0]
+    s = start_ids.shape[-1]
     w = beam_width
     l = l_search
     c = w * (expand_r if expand_r is not None else r)
@@ -155,7 +155,11 @@ def beam_search_scored(
     q_ctx = scorer_def.prep(scorer_data, queries)
 
     # ---- init: score start points (reference `start_point_distances`) ----
-    sid = jnp.broadcast_to(start_ids[None, :], (b, s)).astype(jnp.int32)
+    # start_ids: [S] shared across the batch, or [B, S] per-query (router)
+    if start_ids.ndim == 1:
+        sid = jnp.broadcast_to(start_ids[None, :], (b, s)).astype(jnp.int32)
+    else:
+        sid = start_ids.astype(jnp.int32)
     svalid = sid >= 0
     sd = scorer_def.score(scorer_data, q_ctx, sid, svalid)
 

@@ -120,16 +120,11 @@ class TieredIndex:
         if queries.ndim == 1:
             queries = queries[None]
         l = l_search or max(k, g.config.l_build)
-        p = g.packed
-        sdef, sdata = packed_scorer(
-            g.state.adjacency, p.nbr_codes, p.nbr_aux,
-            p.proj, p.pscale, p.pbias2,
-            p.self_codes, p.self_aux, g.config.metric,
-        )
+        sdef, sdata = packed_scorer(g.packed, g.config.metric)
         res = beam_search_scored(
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
             l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-            dedup="list",
+            dedup="list", expand_r=g.packed.r_pack,
         )
         ids = np.asarray(res.ids)
         # ---- stage full rows from host RAM (IO budget applied) ----

@@ -73,9 +73,13 @@ def test_packed_layout_consistent_after_delete(rng):
                            packed_dp=16)
     dead = rng.choice(n, size=120, replace=False)
     idx.delete(dead)
-    # packed rows must mirror adjacency exactly after the delete repair
+    # packed fat rows must mirror adjacency exactly after the delete repair
+    p = idx.packed
     adj = np.asarray(idx.state.adjacency)
-    aux = np.asarray(idx.packed.nbr_aux)
+    rows_np = np.asarray(p.rows)[: adj.shape[0]]  # drop the dump row
+    ids = rows_np[:, : p.aux_off].view(np.int32)[:, : adj.shape[1]]
+    aux = rows_np[:, p.aux_off : p.code_off].view(np.float32)[:, : adj.shape[1]]
+    np.testing.assert_array_equal(ids, adj)
     live_slots = adj >= 0
     assert (np.isfinite(aux) == live_slots).all()
     # searching the packed layout never returns deleted ids

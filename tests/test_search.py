@@ -124,3 +124,42 @@ def test_invalid_start_means_empty_result(rng):
     res = run_beam(vectors, adj, [-1], queries, l=4)
     assert (np.asarray(res.ids) == -1).all()
     assert (np.asarray(res.cmps) == 0).all()
+
+
+def test_router_start_points(rng):
+    """Per-query router entry points keep recall and cut hops vs the
+    single-medoid walk (GraphConfig.router_size / router_starts)."""
+    from diskann_tpu.flat.index import FlatIndex
+    from diskann_tpu.graph.config import GraphConfig
+    from diskann_tpu.graph.index import GraphIndex
+
+    n, d = 3000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((64, d)).astype(np.float32)
+    cfg_router = GraphConfig(
+        max_degree=16, l_build=32, router_size=256, router_starts=2
+    )
+    idx = GraphIndex.build(x, cfg_router, insert_batch_size=1024)
+    _, gt = FlatIndex(x, Metric.L2).search(q, k=5)
+
+    _, ids_m, st_m = idx.search(q, 5, l_search=32)           # router active
+    rec = np.mean([
+        len(set(ids_m[i]) & set(np.asarray(gt)[i])) / 5 for i in range(64)
+    ])
+    assert rec >= 0.9, rec
+    # router actually produced per-query starts
+    starts = idx._router_starts(jnp.asarray(q), "full")
+    assert starts is not None and starts.shape == (64, 2)
+    # starts are live node ids
+    s = np.asarray(starts)
+    assert ((s >= 0) & (s < n)).all()
+    # disabling the router (router_size=0) must also work and agree on recall
+    object.__setattr__(idx.config, "router_size", 0)
+    idx._router_ids = None
+    _, ids_0, st_0 = idx.search(q, 5, l_search=32)
+    rec0 = np.mean([
+        len(set(ids_0[i]) & set(np.asarray(gt)[i])) / 5 for i in range(64)
+    ])
+    assert rec0 >= 0.9, rec0
+    # router path should not expand more nodes than the medoid path
+    assert st_m.hops.mean() <= st_0.hops.mean() + 1
