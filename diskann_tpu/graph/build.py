@@ -193,6 +193,14 @@ def insert_batch(
             col_ok = col_ok & win
         ib_d = jnp.where(col_ok, ib_d, jnp.inf)
         ib_ids = jnp.where(col_ok, new_ids[None, :], -1)
+        if m > 2 * config.max_occlusion_size:
+            # pre-select the occlusion cap's worth of intra-batch neighbors
+            # with approx_min_k (TPU-native partial top-k): sorting the full
+            # [M, M + pool] matrix costs ~seconds at M=8192 while only
+            # max_occlusion entries can ever survive the cap below
+            kk = min(config.max_occlusion_size, m)
+            ib_d, ib_pos = jax.lax.approx_min_k(ib_d, kk)
+            ib_ids = jnp.take_along_axis(ib_ids, ib_pos, axis=1)
         cand_ids = jnp.concatenate([res.pool_i, ib_ids], axis=1)
         cand_d = jnp.concatenate([res.pool_d, ib_d], axis=1)
     else:

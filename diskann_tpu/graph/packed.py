@@ -246,9 +246,14 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
 
     import os
 
+    # Opt-in: inside larger XLA programs the rows buffer can be assigned a
+    # tiled layout, which Mosaic rejects for the kernel's [1, k] DMA slices
+    # ("Slice shape along dimension 0 must be aligned to tiling (8)").
+    # Standalone calls (linear entry layout) work — see scripts/
+    # kernel_append_check.py.  Default off until the layout is pinned.
     if jax.default_backend() == "tpu" and os.environ.get(
-        "DISKANN_NO_APPEND_KERNEL"
-    ) != "1":
+        "DISKANN_APPEND_KERNEL"
+    ) == "1":
         from diskann_tpu.ops.kernels.fatrow_append import (
             EDGE_BLOCK, fatrow_append,
         )
