@@ -1,21 +1,26 @@
-"""Packed neighbor "fat-row" layout + incremental maintenance.
+"""Packed neighbor "fat-row" sector layout + incremental maintenance.
 
-One int8 row per node holds EVERYTHING a beam expansion needs:
+One logical fat row per node holds EVERYTHING a beam expansion needs —
+the node's neighbor ids, their ||code||^2 terms and their int8
+PCA-projected codes — stored as a run of 128-byte *sectors* in one flat
+``[(cap+1) * nsec, 128] int8`` table:
 
-    rows[i] = [ ids: r_pack x i32 | aux: r_pack x f32 | codes: r_pack*dp x i8 | pad ]
+    sectors [0, id_secs)          ids   (r_pack x i32, zero-padded tail)
+    sectors [id_secs, 2*id_secs)  aux   (r_pack x f32)
+    sectors [2*id_secs, ...)      codes (r_pack x dp i8), then pad sectors
+                                  so nsec is a multiple of 8
 
-i.e. the node's neighbor ids, their ||code||^2 terms and their int8
-PCA-projected codes, contiguous.  Expanding a beam node is then ONE row
-gather (the TPU cost model is per-row issue, not per-byte: measured on
-v5e, three split gathers of ids/aux/codes cost 6.5 ms/hop where the fat
-row costs 4.6 at B=4096, W=4, R=84, dp=64).  Sections are decoded with
-slices + bitcasts after the gather.  This is the direct analogue of the
-disk tier's sector layout, which co-locates a node with its neighborhood
-so one SSD read serves a whole expansion
-(`diskann-disk/src/storage/disk_index_writer.rs`).
-
-Rows are padded to a multiple of 128 bytes (the int8 (32, 128) minor tile)
-— misaligned rows gather ~15% slower (measured).
+Expanding a beam node is then ONE contiguous [nsec, 128] read (the TPU
+cost model is per-row issue, not per-byte: measured on v5e, three split
+gathers of ids/aux/codes cost 6.5 ms/hop where one fat-row gather costs
+4.6 at B=4096, W=4, R=84, dp=64).  The sector shape exists for the fused
+Pallas expand kernel (`ops/kernels/fatrow_expand.py`, measured 2.3
+ms/hop): Mosaic accepts [nsec, 128] HBM->VMEM DMAs at nsec-aligned row
+offsets (nsec % 8 == 0), where [1, nsec*128] slices of a 2-D
+[cap, nsec*128] table are rejected ("dim0 slices must be 8-aligned").
+This is the direct analogue of the disk tier's sector layout, which
+co-locates a node with its neighborhood so one SSD read serves a whole
+expansion (`diskann-disk/src/storage/disk_index_writer.rs`).
 
 This module keeps the table consistent under graph mutations:
 - `encode` / `set_self_codes`: project + quantize new vectors;
@@ -44,9 +49,21 @@ def padded_degree(r_slack: int, dp: int) -> int:
     return -(-r_slack // step) * step
 
 
+def id_sectors(r_pack: int) -> int:
+    """Sectors holding the id section (= aux section) of a fat row."""
+    return -(-r_pack * 4 // 128)
+
+
+def n_sectors(r_pack: int, dp: int) -> int:
+    """Total 128-byte sectors per logical fat row: ids + aux + codes,
+    rounded up to a multiple of 8 (Mosaic DMA dim0 alignment)."""
+    secs = 2 * id_sectors(r_pack) + (-(-r_pack * dp // 128))
+    return -(-secs // 8) * 8
+
+
 def row_nbytes(r_pack: int, dp: int) -> int:
-    """Fat-row byte width: ids + aux + codes, padded to 128-byte tiles."""
-    return -(-(r_pack * (8 + dp)) // 128) * 128
+    """Fat-row byte width (all sectors of one logical row)."""
+    return n_sectors(r_pack, dp) * 128
 
 
 @partial(
@@ -61,7 +78,7 @@ class PackedState:
     pbias2: jax.Array      # [dp] f32 adjusted bias (bias + 128*scale)
     self_codes: jax.Array  # [cap, dp] i8
     self_aux: jax.Array    # [cap] f32  (||code||^2 for L2; 0 for IP)
-    rows: jax.Array        # [cap, row_nbytes] i8 fat rows (see module doc)
+    rows: jax.Array        # [(cap+1)*nsec, 128] i8 sector table (module doc)
     r_pack: int            # static: neighbor slots per row
 
     def _replace(self, **kw) -> "PackedState":
@@ -72,16 +89,26 @@ class PackedState:
         return self.proj.shape[1]
 
     @property
+    def id_secs(self) -> int:
+        return id_sectors(self.r_pack)
+
+    @property
+    def nsec(self) -> int:
+        return n_sectors(self.r_pack, self.dp)
+
+    @property
     def ids_off(self) -> int:
         return 0
 
     @property
     def aux_off(self) -> int:
-        return self.r_pack * 4
+        """Byte offset of the aux section within a flattened logical row."""
+        return self.id_secs * 128
 
     @property
     def code_off(self) -> int:
-        return self.r_pack * 8
+        """Byte offset of the code section within a flattened logical row."""
+        return 2 * self.id_secs * 128
 
 
 def train_packed(
@@ -91,6 +118,9 @@ def train_packed(
     vecs = np.asarray(vectors, np.float32)
     d = vecs.shape[1]
     dp = min(dp, d)
+    # dp must divide 128 so a code never straddles a 128-byte sector
+    while 128 % dp:
+        dp -= 1
     mu = vecs.mean(axis=0)
     cov = np.cov((vecs - mu).T).astype(np.float32)
     if cov.ndim == 0:  # d == 1
@@ -106,15 +136,17 @@ def train_packed(
 
 
 def _empty_rows(n: int, r_pack: int, dp: int) -> jax.Array:
-    """Fat rows with all neighbor ids -1 and all aux slots +inf (the
-    empty-slot conventions of the split layout), codes zero."""
-    row = row_nbytes(r_pack, dp)
-    out = jnp.zeros((n, row), jnp.int8)
-    out = out.at[:, : r_pack * 4].set(jnp.int8(-1))
-    inf_bytes = jax.lax.bitcast_convert_type(
-        jnp.full((r_pack,), jnp.inf, jnp.float32), jnp.int8
-    ).reshape(r_pack * 4)
-    return out.at[:, r_pack * 4 : r_pack * 8].set(inf_bytes[None, :])
+    """Sector rows for n empty fat rows: all neighbor ids -1, all aux slots
+    +inf (the empty-slot conventions), codes zero.  Shape [n*nsec, 128]."""
+    id_s = id_sectors(r_pack)
+    nsec = n_sectors(r_pack, dp)
+    tmpl = np.zeros((nsec * 128,), np.int8)
+    tmpl[: id_s * 128] = -1
+    inf_bytes = np.frombuffer(
+        np.full((id_s * 32,), np.inf, np.float32).tobytes(), np.int8
+    )
+    tmpl[id_s * 128 : 2 * id_s * 128] = inf_bytes
+    return jnp.tile(jnp.asarray(tmpl.reshape(nsec, 128)), (n, 1))
 
 
 def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
@@ -139,11 +171,17 @@ def grow_packed(packed: PackedState, new_capacity: int) -> PackedState:
     extra = new_capacity - cap
     if extra <= 0:
         return packed
+    # drop the old DUMP row (it accumulates garbage from dropped writes and
+    # must not become node slot `cap`); fresh empties include a new dump row
     return packed._replace(
         self_codes=jnp.pad(packed.self_codes, ((0, extra), (0, 0))),
         self_aux=jnp.pad(packed.self_aux, (0, extra)),
         rows=jnp.concatenate(
-            [packed.rows, _empty_rows(extra, packed.r_pack, packed.dp)], axis=0
+            [
+                packed.rows[: cap * packed.nsec],
+                _empty_rows(extra + 1, packed.r_pack, packed.dp),
+            ],
+            axis=0,
         ),
     )
 
@@ -199,6 +237,8 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     cap, r_slack = adjacency.shape
     dp = packed.dp
     rp = packed.r_pack
+    id_s = packed.id_secs
+    nsec = packed.nsec
     rows = jnp.asarray(rows, jnp.int32)
     t = rows.shape[0]
     safe_rows = jnp.clip(rows, 0, cap - 1)
@@ -210,14 +250,33 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     safe = jnp.clip(arows, 0, cap - 1)
     codes = packed.self_codes[safe].reshape(t, rp * dp)
     aux = jnp.where(arows >= 0, packed.self_aux[safe], jnp.inf)
+    sec_pad = id_s * 128 - rp * 4
     fat = jnp.concatenate(
-        [_i32_to_bytes(arows), _f32_to_bytes(aux), codes], axis=-1
+        [
+            jnp.pad(_i32_to_bytes(arows), ((0, 0), (0, sec_pad))),
+            jnp.pad(_f32_to_bytes(aux), ((0, 0), (0, sec_pad))),
+            codes,
+        ],
+        axis=-1,
     )
-    tail = packed.rows.shape[1] - fat.shape[1]
+    tail = nsec * 128 - fat.shape[1]
     if tail:
         fat = jnp.pad(fat, ((0, 0), (0, tail)))
     w = jnp.where((rows >= 0) & (rows < cap), rows, cap)
-    return packed._replace(rows=packed.rows.at[w].set(fat, mode="drop"))
+    idx = (w[:, None] * nsec + jnp.arange(nsec, dtype=jnp.int32)[None, :]).reshape(-1)
+    return packed._replace(
+        rows=packed.rows.at[idx].set(
+            fat.reshape(t * nsec, 128), mode="drop"
+        )
+    )
+
+
+def logical_rows(packed: PackedState) -> jax.Array:
+    """The sector table viewed as [cap+1, nsec*128] flattened logical rows
+    (decode with the `*_off` byte offsets).  Test/debug helper — the
+    reshape relayouts, don't use it in hot paths."""
+    cap1 = packed.rows.shape[0] // packed.nsec
+    return packed.rows.reshape(cap1, packed.nsec * 128)
 
 
 # Donating wrappers for host-driven maintenance loops: without donation each
@@ -230,11 +289,13 @@ set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     """Splice src's (id, aux, code) into (tgt, slot) — the backedge fast path.
 
-    One 2-D byte scatter into the flat [cap, row_nbytes] int8 table covers
-    all three sections (the flat layout keeps indices within int32 and
-    avoids the 4x tile-padding a 3-D int8 view would cost)."""
+    2-D byte scatters into the [cap1*nsec, 128] sector table; each write
+    lands inside one sector (dp divides 128; ids/aux are 4-byte aligned),
+    so row/col indices stay affine per chunk."""
     cap = packed.self_codes.shape[0]
     dp = packed.dp
+    id_s = packed.id_secs
+    nsec = packed.nsec
     e = tgt.shape[0]
     codes = packed.self_codes[jnp.clip(src, 0, cap - 1)]      # [E, dp]
     aux = packed.self_aux[jnp.clip(src, 0, cap - 1)]          # [E]
@@ -295,20 +356,26 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
         aux_bytes = jnp.pad(aux_bytes, ((0, padc), (0, 0)))
         codes = jnp.pad(codes, ((0, padc), (0, 0)))
 
+    cpl = 128 // dp                        # codes per sector
+    spl = 32                               # id/aux cells per sector (4B each)
+
     def body(i, acc):
         t = jax.lax.dynamic_slice(tgt_s, (i * ch,), (ch,))
         s = jax.lax.dynamic_slice(slot_s, (i * ch,), (ch,))
         ib = jax.lax.dynamic_slice(id_bytes, (i * ch, 0), (ch, 4))
         ab = jax.lax.dynamic_slice(aux_bytes, (i * ch, 0), (ch, 4))
         cd = jax.lax.dynamic_slice(codes, (i * ch, 0), (ch, dp))
+        base = t * nsec
 
-        def sc(a, cols, vals):
-            r2 = jnp.broadcast_to(t[:, None], cols.shape)
+        def sc(a, srow, cols, vals):
+            r2 = jnp.broadcast_to(srow[:, None], cols.shape)
             return a.at[r2, cols].set(vals, mode="drop")
 
-        acc = sc(acc, s[:, None] * 4 + b4, ib)
-        acc = sc(acc, packed.aux_off + s[:, None] * 4 + b4, ab)
-        acc = sc(acc, packed.code_off + s[:, None] * dp + bd, cd)
+        acc = sc(acc, base + s // spl, (s % spl)[:, None] * 4 + b4, ib)
+        acc = sc(acc, base + id_s + s // spl, (s % spl)[:, None] * 4 + b4, ab)
+        acc = sc(
+            acc, base + 2 * id_s + s // cpl, (s % cpl)[:, None] * dp + bd, cd
+        )
         return acc
 
     rows_t = jax.lax.fori_loop(0, n_chunks, body, packed.rows)

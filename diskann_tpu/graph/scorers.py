@@ -241,7 +241,8 @@ def packed_scorer(packed, metric: Metric):
     key = (metric, rp, dp)
     if key not in _PACKED_DEFS:
         prep = _packed_prep(metric)
-        aux_off, code_off = rp * 4, rp * 8
+        id_s, nsec = packed.id_secs, packed.nsec
+        aux_off, code_off = packed.aux_off, packed.code_off
 
         def score(data, q_ctx, ids, valid):
             # per-id scoring for start points: plain int8 row gather
@@ -277,27 +278,35 @@ def packed_scorer(packed, metric: Metric):
 
             rows, proj, pscale, pbias2, self_codes, self_aux = data
             qi, qscale, qsq = q_ctx
-            n = rows.shape[0]
+            n = rows.shape[0] // nsec
             b, w = beam_ids.shape
-            # opt-in while the Mosaic lowering of single-row DMAs from a
-            # (8,128)-tiled HBM table is unresolved (see kernels/fatrow_expand)
             use_kernel = (
                 jax.default_backend() == "tpu"
-                and (b * w) % 512 == 0
-                and os.environ.get("DISKANN_FATKERNEL") == "1"
+                and 128 % dp == 0
+                and os.environ.get("DISKANN_NO_FATKERNEL") != "1"
             )
             if use_kernel:
-                # fused Pallas expand: pipelined row DMAs + in-VMEM int8
+                # fused Pallas expand: pipelined sector DMAs + in-VMEM int8
                 # scoring; the gathered bytes never round-trip through HBM
+                # (measured 2.3 ms/hop vs 4.6 for the XLA gather+dot at
+                # B=4096 W=4 R=84 dp=64 on v5e)
                 from diskann_tpu.ops.kernels.fatrow_expand import fatrow_expand
 
-                beam_flat = jnp.clip(beam_ids, 0, n - 1).reshape(b * w)
+                bw = b * w
+                bwp = -(-bw // 512) * 512
+                beam_flat = jnp.clip(beam_ids, 0, n - 1).reshape(bw)
                 qiw = jnp.repeat(qi, w, axis=0)          # loop-invariant
+                if bwp != bw:
+                    beam_flat = jnp.pad(beam_flat, (0, bwp - bw))
+                    qiw = jnp.pad(qiw, ((0, bwp - bw), (0, 0)))
                 hdr, dots_i = fatrow_expand(
                     rows, beam_flat, qiw, rp=rp, dp=dp
                 )
+                hdr, dots_i = hdr[:bw], dots_i[:bw, :rp]
                 cand = bytes_to_i32(hdr[:, : rp * 4], rp).reshape(b, w * rp)
-                aux = bytes_to_f32(hdr[:, rp * 4 :], rp).reshape(b, w * rp)
+                aux = bytes_to_f32(
+                    hdr[:, aux_off : aux_off + rp * 4], rp
+                ).reshape(b, w * rp)
                 dots = (
                     dots_i.reshape(b, w * rp).astype(jnp.float32)
                     * qscale[:, None]
@@ -306,9 +315,14 @@ def packed_scorer(packed, metric: Metric):
                     cand, aux, dots, qsq, beam_valid, b, w
                 )
             safe = jnp.clip(beam_ids, 0, n - 1)
-            fat = rows[safe]                               # [B, W, ROW]
-            cand = bytes_to_i32(fat[:, :, :aux_off], rp).reshape(b, w * rp)
-            aux = bytes_to_f32(fat[:, :, aux_off:code_off], rp).reshape(b, w * rp)
+            idx = safe[:, :, None] * nsec + jnp.arange(
+                nsec, dtype=jnp.int32
+            )[None, None, :]
+            fat = rows[idx].reshape(b, w, nsec * 128)      # [B, W, ROW]
+            cand = bytes_to_i32(fat[:, :, : rp * 4], rp).reshape(b, w * rp)
+            aux = bytes_to_f32(
+                fat[:, :, aux_off : aux_off + rp * 4], rp
+            ).reshape(b, w * rp)
             codes = fat[:, :, code_off : code_off + rp * dp].reshape(
                 b, w * rp, dp
             )

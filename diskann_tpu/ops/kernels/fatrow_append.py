@@ -28,35 +28,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from diskann_tpu.graph.packed import id_sectors, n_sectors
+
 EDGE_BLOCK = 2048     # edges per grid program
 INFLIGHT = 128        # DMA ring depth (per section stream)
 
 
 def _kernel(rp: int, dp: int, e_total: int,
             tgt_ref, slot_ref, recs_hbm, rows_hbm, rows_out, sem):
-    del rows_out  # aliased with rows_hbm; all writes go through DMAs
+    del rows_hbm  # aliased with rows_out; writes go through the OUTPUT ref
+    # (the interpreter discards DMA writes to an aliased *input* ref)
     p = pl.program_id(0)
     base = p * EDGE_BLOCK
-    aux_off = rp * 4
-    code_off = rp * 8
+    id_s = id_sectors(rp)
+    nsec = n_sectors(rp, dp)
+    cpl = 128 // dp       # codes per sector (dp divides 128 by layout rule)
 
     def dmas(j, slot_ring):
         idx = base + j
         t = tgt_ref[idx]
         s = slot_ref[idx]
+        srow = t * nsec
         d_id = pltpu.make_async_copy(
             recs_hbm.at[pl.ds(idx, 1), pl.ds(0, 4)],
-            rows_hbm.at[pl.ds(t, 1), pl.ds(s * 4, 4)],
+            rows_out.at[pl.ds(srow + s // 32, 1), pl.ds((s % 32) * 4, 4)],
             sem.at[slot_ring, 0],
         )
         d_aux = pltpu.make_async_copy(
             recs_hbm.at[pl.ds(idx, 1), pl.ds(4, 4)],
-            rows_hbm.at[pl.ds(t, 1), pl.ds(aux_off + s * 4, 4)],
+            rows_out.at[
+                pl.ds(srow + id_s + s // 32, 1), pl.ds((s % 32) * 4, 4)
+            ],
             sem.at[slot_ring, 1],
         )
         d_code = pltpu.make_async_copy(
             recs_hbm.at[pl.ds(idx, 1), pl.ds(8, dp)],
-            rows_hbm.at[pl.ds(t, 1), pl.ds(code_off + s * dp, dp)],
+            rows_out.at[
+                pl.ds(srow + 2 * id_s + s // cpl, 1),
+                pl.ds((s % cpl) * dp, dp),
+            ],
             sem.at[slot_ring, 2],
         )
         return d_id, d_aux, d_code
@@ -83,8 +93,11 @@ def _kernel(rp: int, dp: int, e_total: int,
     jax.lax.fori_loop(EDGE_BLOCK - INFLIGHT, EDGE_BLOCK, wait, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("rp", "dp"), donate_argnums=(0,))
-def fatrow_append(rows, tgt, slot, recs, *, rp: int, dp: int):
+@functools.partial(
+    jax.jit, static_argnames=("rp", "dp", "interpret"), donate_argnums=(0,)
+)
+def fatrow_append(rows, tgt, slot, recs, *, rp: int, dp: int,
+                  interpret: bool = False):
     """rows [cap+1, ROW] i8 (last row = dump); tgt/slot [E] i32 with
     invalid edges pointing at (cap, 0); recs [E, 128] i8 record bytes.
     Returns the updated rows table (in-place aliased)."""
@@ -109,4 +122,5 @@ def fatrow_append(rows, tgt, slot, recs, *, rp: int, dp: int):
         out_shape=jax.ShapeDtypeStruct(rows.shape, rows.dtype),
         input_output_aliases={3: 0},   # rows input -> rows output
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(tgt, slot, recs, rows)

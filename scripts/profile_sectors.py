@@ -74,9 +74,9 @@ def _kernel(beam_ref, rows_hbm, qiw_ref, hdr_ref, de_ref, do_ref, buf, sem):
     def _():
         issue_wave(1)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    left = (lanes < 64).astype(jnp.float32)      # [128, 1]
-    right = (lanes >= 64).astype(jnp.float32)
+    ncode = NSEC - SEC_CODE
+    lanes3 = jax.lax.broadcasted_iota(jnp.int32, (WAVE, ncode, 128), 2)
+    left3 = lanes3 < 64                          # [W, 42, 128] bool
 
     def wave_body(wi, _):
         off = jnp.mod(wi, NBUF) * WAVE
@@ -86,10 +86,6 @@ def _kernel(beam_ref, rows_hbm, qiw_ref, hdr_ref, de_ref, do_ref, buf, sem):
             return 0
 
         jax.lax.fori_loop(0, WAVE, wt, 0)
-
-        @pl.when(wi + NBUF < nwaves)
-        def _():
-            issue_wave(wi + NBUF)
 
         flat = buf[pl.ds(off * NSEC, WAVE * NSEC), :]        # [W*48, 128]
         b3 = flat.reshape(WAVE, NSEC, 128)                   # major split
@@ -101,16 +97,18 @@ def _kernel(beam_ref, rows_hbm, qiw_ref, hdr_ref, de_ref, do_ref, buf, sem):
             q2.reshape(WAVE, 1, 128), (WAVE, NSEC - SEC_CODE, 128)
         )
         prod = (codes * q3).astype(jnp.float32)
-        de = jax.lax.dot_general(
-            prod, left, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, :, 0]                                           # [W, 42]
-        do = jax.lax.dot_general(
-            prod, right, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, :, 0]
+        de = jnp.sum(jnp.where(left3, prod, 0.0), axis=2)    # [W, 42]
+        do = jnp.sum(jnp.where(left3, 0.0, prod), axis=2)
         de_ref[pl.ds(wi * WAVE, WAVE), :] = de.astype(jnp.int32)
         do_ref[pl.ds(wi * WAVE, WAVE), :] = do.astype(jnp.int32)
+
+        # refill this wave's slot only AFTER its bytes were consumed above —
+        # issuing before the reads races the DMA against the compute
+        # (slot parity (wi+NBUF)%NBUF == wi%NBUF)
+        @pl.when(wi + NBUF < nwaves)
+        def _():
+            issue_wave(wi + NBUF)
+
         return 0
 
     jax.lax.fori_loop(0, nwaves, wave_body, 0)

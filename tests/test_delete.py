@@ -76,7 +76,9 @@ def test_packed_layout_consistent_after_delete(rng):
     # packed fat rows must mirror adjacency exactly after the delete repair
     p = idx.packed
     adj = np.asarray(idx.state.adjacency)
-    rows_np = np.asarray(p.rows)[: adj.shape[0]]  # drop the dump row
+    from diskann_tpu.graph.packed import logical_rows
+
+    rows_np = np.asarray(logical_rows(p))[: adj.shape[0]]  # drop the dump row
     ids = rows_np[:, : p.aux_off].view(np.int32)[:, : adj.shape[1]]
     aux = rows_np[:, p.aux_off : p.code_off].view(np.float32)[:, : adj.shape[1]]
     np.testing.assert_array_equal(ids, adj)
