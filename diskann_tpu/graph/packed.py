@@ -263,6 +263,30 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     if tail:
         fat = jnp.pad(fat, ((0, 0), (0, tail)))
     w = jnp.where((rows >= 0) & (rows < cap), rows, cap)
+
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get(
+        "DISKANN_NO_BLOCK_PATCH"
+    ) != "1":
+        # aligned-block DMA patching: XLA's scatter serializes per index
+        # (~2-14 us each; T*nsec sector rows per refresh), the kernel copies
+        # [8, 128] blocks at DMA issue rate (~0.14 us)
+        from diskann_tpu.ops.kernels.block_patch import (
+            PATCH_BLOCK, block_patch,
+        )
+
+        nblk = nsec // 8
+        gidx = (
+            w[:, None] * nblk + jnp.arange(nblk, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        vals = fat.reshape(t * nsec, 128)
+        pad = (-gidx.shape[0]) % PATCH_BLOCK
+        if pad:
+            gidx = jnp.pad(gidx, (0, pad), constant_values=cap * nblk)
+            vals = jnp.pad(vals, ((0, pad * 8), (0, 0)))
+        return packed._replace(rows=block_patch(packed.rows, gidx, vals))
+
     idx = (w[:, None] * nsec + jnp.arange(nsec, dtype=jnp.int32)[None, :]).reshape(-1)
     return packed._replace(
         rows=packed.rows.at[idx].set(
@@ -286,6 +310,37 @@ refresh_rows_donated = jax.jit(refresh_rows, donate_argnums=(0,))
 set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 
 
+def append_edges_words(packed, tgt_s, slot_s, src, aux, codes) -> jax.Array:
+    """Backedge splice as flat int32 WORD scatters -> new rows table.
+
+    Word index math: a logical row is nsec*32 words; the id of slot s is
+    word t*nsec*32 + s; its aux word follows id_secs*32 later; its dp/4
+    code words start at 2*id_secs*32 + s*dp/4.  All three scatters are
+    scalar/affine-iota flat forms — the ones XLA lowers fast on TPU."""
+    dp = packed.dp
+    id_s = packed.id_secs
+    nsec = packed.nsec
+    e = tgt_s.shape[0]
+    r_sec = packed.rows.shape[0]
+    words = jax.lax.bitcast_convert_type(
+        packed.rows.reshape(r_sec, 32, 4), jnp.int32
+    ).reshape(r_sec * 32)
+    base = tgt_s * (nsec * 32)
+    id_w = jnp.asarray(src, jnp.int32)
+    aux_w = jax.lax.bitcast_convert_type(aux, jnp.int32)
+    code_w = jax.lax.bitcast_convert_type(
+        codes.reshape(e, dp // 4, 4), jnp.int32
+    )                                    # [E, dp/4]
+    words = words.at[base + slot_s].set(id_w, mode="drop")
+    words = words.at[base + id_s * 32 + slot_s].set(aux_w, mode="drop")
+    kw = jnp.arange(dp // 4, dtype=jnp.int32)[None, :]
+    cw_idx = (base + 2 * id_s * 32 + slot_s * (dp // 4))[:, None] + kw
+    words = words.at[cw_idx.reshape(-1)].set(code_w.reshape(-1), mode="drop")
+    return jax.lax.bitcast_convert_type(
+        words.reshape(r_sec, 32), jnp.int8
+    ).reshape(r_sec, 128)
+
+
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     """Splice src's (id, aux, code) into (tgt, slot) — the backedge fast path.
 
@@ -307,33 +362,21 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
 
     import os
 
-    # Opt-in: inside larger XLA programs the rows buffer can be assigned a
-    # tiled layout, which Mosaic rejects for the kernel's [1, k] DMA slices
-    # ("Slice shape along dimension 0 must be aligned to tiling (8)").
-    # Standalone calls (linear entry layout) work — see scripts/
-    # kernel_append_check.py.  Default off until the layout is pinned.
-    if jax.default_backend() == "tpu" and os.environ.get(
-        "DISKANN_APPEND_KERNEL"
-    ) == "1":
-        from diskann_tpu.ops.kernels.fatrow_append import (
-            EDGE_BLOCK, fatrow_append,
+    # TPU fast path: flat int32 WORD scatters.  XLA's 2-D column-indexed i8
+    # scatters serialize (~2.5us/index; 4s/batch at E=512k on v5e) while flat
+    # scalar/affine word scatters run ~100ns/index (measured 60-87ms at
+    # E=512k).  The i8<->i32 bitcasts are two full-table copies (~30ms) —
+    # still ~15x faster overall.  Word indices must fit int32.
+    n_words = packed.rows.shape[0] * 32
+    if (
+        jax.default_backend() == "tpu"
+        and n_words < 2**31
+        and dp % 4 == 0
+        and os.environ.get("DISKANN_NO_WORD_APPEND") != "1"
+    ):
+        return packed._replace(
+            rows=append_edges_words(packed, tgt_s, slot_s, src, aux, codes)
         )
-
-        e = tgt_s.shape[0]
-        pad = (-e) % EDGE_BLOCK
-        if pad:
-            tgt_s = jnp.pad(tgt_s, (0, pad), constant_values=cap)
-            slot_s = jnp.pad(slot_s, (0, pad))
-            id_bytes = jnp.pad(id_bytes, ((0, pad), (0, 0)))
-            aux_bytes = jnp.pad(aux_bytes, ((0, pad), (0, 0)))
-            codes = jnp.pad(codes, ((0, pad), (0, 0)))
-        recs = jnp.concatenate([id_bytes, aux_bytes, codes], axis=-1)
-        recs = jnp.pad(recs, ((0, 0), (0, 128 - recs.shape[1])))
-        rows_t = fatrow_append(
-            packed.rows, tgt_s.astype(jnp.int32), slot_s.astype(jnp.int32),
-            recs, rp=packed.r_pack, dp=dp,
-        )
-        return packed._replace(rows=rows_t)
 
     # Chunked affine-iota scatters.  Measured on v5e at E=512k, cap=1M:
     # a lax.scatter with [E, 2] window indices runs at 7.3s/batch and an

@@ -13,15 +13,19 @@ Semantics reproduced exactly for the TriangleInequality rule (L2/cosine):
 - occlusion factors accumulate across rungs; promotion stops at `degree`.
 
 TPU re-design: the sequential in-order scan is replaced by an equivalent
-fixed-point iteration needing only O(degree) steps instead of O(pool):
+fixed-point iteration needing only O(degree / K) steps instead of O(pool):
 because occlusion factors only grow within a rung, promoting "the first
 eligible position, then occluding later positions" repeatedly yields exactly
-the same promotion set and order as the reference's scan.  Each step is a
-batched ``[B, C]`` mask update; the occluding distances d(j*, k) are computed
-*on the fly* as one ``[B, d] x [B, C, d]`` MXU contraction per step — no
-[B, C, C] pairwise tensor is ever materialized, so whole insert batches
-prune in a single un-chunked scan (loop iterations carry a fixed scheduling
-cost on TPU, so fewer-but-wider steps win).
+the same promotion set and order as the reference's scan.  Each step
+promotes up to K=8 neighbors at once — the first K eligible positions are
+examined and a *prefix-consistent subset* is promoted (position i promoted
+iff not occluded by the positions promoted before it in the same step),
+which is provably identical to K rounds of single promotion since occlusion
+factors only grow and eligibility only shrinks within a rung.  Each step is
+a batched ``[B, C]`` mask update; the occluding distances d(j, k) for all K
+promotees are one ``[B, K, d] x [B, C, d]`` MXU contraction — no [B, C, C]
+pairwise tensor is ever materialized, and the dominant cost (streaming
+pool_vecs from HBM) is paid once per K promotions instead of once each.
 
 Divergence note (documented, deliberate): for the InnerProduct `Occluding`
 rule the reference applies the knockout with the alpha of the rung in which a
@@ -88,6 +92,8 @@ def _occlude_scan(
     sel_pos = jnp.full((b, degree), c, dtype=jnp.int32)
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
 
+    kk = max(min(8, degree, c), 1)  # promotions examined per step
+
     def rung(alpha, occ, selected, found, sel_pos):
         alpha_f = jnp.float32(alpha)
 
@@ -98,27 +104,79 @@ def _occlude_scan(
 
         def step(carry):
             occ, selected, found, sel_pos = carry
+            room = jnp.minimum(degree - found, kk)                    # [B]
             eligible = (occ <= alpha_f) & ~selected & valid & (found[:, None] < degree)
-            any_row = jnp.any(eligible, axis=1)                      # [B]
-            jstar = jnp.argmin(jnp.where(eligible, pos_iota, c), axis=1)  # [B]
-            # d(j*, k) computed on the fly: one [B, d] x [B, C, d] contraction
-            jvec = jnp.take_along_axis(
-                pool_vecs, jnp.minimum(jstar, c - 1)[:, None, None], axis=1
-            ).squeeze(1)                                              # [B, d]
-            jsq = jnp.take_along_axis(
-                pool_sq, jnp.minimum(jstar, c - 1)[:, None], axis=1
-            ).squeeze(1)
-            jk = distance_to_set(
-                jvec, pool_vecs, metric, x_sq_norms=pool_sq, q_sq_norms=jsq
-            )                                                         # [B, C]
-            newocc = _occlude_update(kind, occ, pool_d, jk, alpha_f)
-            later = pos_iota > jstar[:, None]
-            occ = jnp.where(any_row[:, None] & later, newocc, occ)
-            selected = selected | (any_row[:, None] & (pos_iota == jstar[:, None]))
+            # first K eligible positions per row (ascending; c = none)
+            pos_k = jax.lax.sort(
+                jnp.where(eligible, pos_iota, c), dimension=-1
+            )[:, :kk]                                                 # [B, K]
+            k_live = (pos_k < c) & (
+                jax.lax.broadcasted_iota(jnp.int32, (b, kk), 1) < room[:, None]
+            )
+            safe_k = jnp.minimum(pos_k, c - 1)
+            jvecs = jnp.take_along_axis(
+                pool_vecs, safe_k[:, :, None], axis=1
+            )                                                         # [B, K, d]
+            jsq = jnp.take_along_axis(pool_sq, safe_k, axis=1)        # [B, K]
+            jpd = jnp.take_along_axis(pool_d, safe_k, axis=1)         # [B, K]
+
+            # pairwise among the K examined: d(e_j, e_i) for j < i, then a
+            # tiny in-register scan decides the prefix-consistent subset
+            dd = distance_to_set(
+                jvecs.reshape(b * kk, -1),
+                jnp.broadcast_to(
+                    jvecs[:, None, :, :], (b, kk, kk, jvecs.shape[-1])
+                ).reshape(b * kk, kk, -1),
+                metric,
+                x_sq_norms=jnp.broadcast_to(
+                    jsq[:, None, :], (b, kk, kk)
+                ).reshape(b * kk, kk),
+                q_sq_norms=jsq.reshape(b * kk),
+            ).reshape(b, kk, kk)                                      # [B, Kj, Ki]
+            promote = [k_live[:, 0]]
+            for i in range(1, kk):
+                occ_i = jnp.zeros((b,), jnp.float32)
+                for j in range(i):
+                    occ_i = jnp.where(
+                        promote[j],
+                        _occlude_update(
+                            kind, occ_i, jpd[:, i], dd[:, j, i], alpha_f
+                        ),
+                        occ_i,
+                    )
+                promote.append(k_live[:, i] & (occ_i <= alpha_f))
+            promote = jnp.stack(promote, axis=1)                      # [B, K]
+
+            # pool-wide occlusion update from ALL promoted at once:
+            # one [B, K, d] x [B, C, d] contraction
+            jk = jax.vmap(
+                lambda jv, js, pv, ps: distance_to_set(
+                    jv, pv, metric, x_sq_norms=ps, q_sq_norms=js
+                )
+            )(jvecs, jsq, pool_vecs, pool_sq)                         # [B, K, C]
+            later = pos_iota[:, None, :] > pos_k[:, :, None]          # [B, K, C]
+            apply = promote[:, :, None] & later
+            if kind == PruneKind.TriangleInequality:
+                ratio = jnp.where(jk == 0.0, _INF, pool_d[:, None, :] / jk)
+                contrib = jnp.where(apply, ratio, -_INF).max(axis=1)  # [B, C]
+                occ = jnp.maximum(occ, contrib)
+            else:
+                knocked = jnp.any(
+                    apply & (jk < alpha_f * pool_d[:, None, :]), axis=1
+                )
+                occ = jnp.where(knocked, jnp.float32(alpha + OCCLUDING_MASK), occ)
+
+            hit = jnp.any(
+                (pos_iota[:, None, :] == pos_k[:, :, None]) & promote[:, :, None],
+                axis=1,
+            )
+            selected = selected | hit
+            csum = jnp.cumsum(promote.astype(jnp.int32), axis=1)
+            slot_w = jnp.where(promote, found[:, None] + csum - 1, degree)
             sel_pos = jax.vmap(
-                lambda sp, f, j, a: sp.at[jnp.where(a, f, degree)].set(j, mode="drop")
-            )(sel_pos, found, jstar, any_row)
-            found = found + any_row.astype(jnp.int32)
+                lambda sp, sw, pk_: sp.at[sw].set(pk_, mode="drop")
+            )(sel_pos, slot_w, pos_k)
+            found = found + csum[:, -1]
             return occ, selected, found, sel_pos
 
         occ, selected, found, sel_pos = jax.lax.while_loop(

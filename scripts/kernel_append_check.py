@@ -44,6 +44,7 @@ def main():
         f"rp={pk.padded_degree(RS, DP)}")
     key = jax.random.key(1)
     p = build_state(key)
+    nsec = p.nsec
 
     # edges: sorted by target, unique (tgt, slot)
     rng = np.random.default_rng(2)
@@ -63,39 +64,55 @@ def main():
     src_j = jnp.asarray(src)
     ok_j = jnp.asarray(ok)
 
-    # oracle: XLA fallback path
-    os.environ["DISKANN_NO_APPEND_KERNEL"] = "1"
-    ref = jax.jit(pk.append_edges)(p, tgt_j, slot_j, src_j, ok_j)
+    # append_edges dispatches on the env var at PYTHON level, so call it
+    # eagerly (its internals are jitted) — a shared jit wrapper would reuse
+    # one traced branch for both paths
+    os.environ["DISKANN_NO_WORD_APPEND"] = "1"
+    ref = pk.append_edges(p, tgt_j, slot_j, src_j, ok_j)
     ref_rows = np.asarray(ref.rows)
-    LOG("[ka] oracle done")
+    LOG("[ka] oracle (XLA byte-scatter fallback) done")
 
-    os.environ["DISKANN_NO_APPEND_KERNEL"] = "0"
-    got = jax.jit(pk.append_edges)(p, tgt_j, slot_j, src_j, ok_j)
+    os.environ["DISKANN_NO_WORD_APPEND"] = "0"
+    got = pk.append_edges(p, tgt_j, slot_j, src_j, ok_j)
     got_rows = np.asarray(got.rows)
-    match = (got_rows == ref_rows).all()
-    LOG(f"[ka] kernel parity: {match}")
+    # dump-row (last nsec sector rows) order of dropped writes differs
+    live = CAP * nsec
+    match = (got_rows[:live] == ref_rows[:live]).all()
+    LOG(f"[ka] word-append parity: {match}")
     if not match:
-        bad = np.nonzero((got_rows != ref_rows).any(axis=1))[0]
-        LOG(f"[ka] mismatching rows: {len(bad)}; first: {bad[:5]}")
+        bad = np.nonzero((got_rows[:live] != ref_rows[:live]).any(axis=1))[0]
+        LOG(f"[ka] mismatching sector rows: {len(bad)}; first: {bad[:5]}")
         i = bad[0]
         db = np.nonzero(got_rows[i] != ref_rows[i])[0]
-        LOG(f"[ka] row {i} first byte diffs at {db[:12]} "
+        LOG(f"[ka] sector row {i} (node {i // nsec} sec {i % nsec}) "
+            f"byte diffs at {db[:12]} "
             f"got={got_rows[i][db[:6]]} ref={ref_rows[i][db[:6]]}")
         print("PARITY FAIL")
         return
 
-    # timing (kernel path), donated chained calls
-    f = jax.jit(pk.append_edges, donate_argnums=(0,))
+    # timing (word path), donated chained calls
     t0 = time.time()
-    q = f(got, tgt_j, slot_j, src_j, ok_j)
+    q = pk.append_edges(got, tgt_j, slot_j, src_j, ok_j)
     np.asarray(q.rows[:1, :1])
     first = time.time() - t0
     t0 = time.time()
     iters = 4
     for _ in range(iters):
-        q = f(q, tgt_j, slot_j, src_j, ok_j)
+        q = pk.append_edges(q, tgt_j, slot_j, src_j, ok_j)
     np.asarray(q.rows[:1, :1])
-    LOG(f"[ka] kernel append: {(time.time()-t0)/iters*1e3:.1f} ms/batch "
+    LOG(f"[ka] word append:  {(time.time()-t0)/iters*1e3:.1f} ms/batch "
+        f"(first {first:.0f}s)")
+
+    os.environ["DISKANN_NO_WORD_APPEND"] = "1"
+    t0 = time.time()
+    q = pk.append_edges(q, tgt_j, slot_j, src_j, ok_j)
+    np.asarray(q.rows[:1, :1])
+    first = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        q = pk.append_edges(q, tgt_j, slot_j, src_j, ok_j)
+    np.asarray(q.rows[:1, :1])
+    LOG(f"[ka] xla append:    {(time.time()-t0)/iters*1e3:.1f} ms/batch "
         f"(first {first:.0f}s)")
     print("DONE")
 

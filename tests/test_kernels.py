@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from diskann_tpu.graph.packed import id_sectors, n_sectors
-from diskann_tpu.ops.kernels.fatrow_append import EDGE_BLOCK, fatrow_append
+from diskann_tpu.ops.kernels.block_patch import (
+    PATCH_BLOCK, block_patch, block_patch_ref,
+)
 from diskann_tpu.ops.kernels.fatrow_expand import (
     fatrow_expand, fatrow_expand_ref,
 )
@@ -77,40 +79,60 @@ def test_fatrow_expand_small_dp():
     np.testing.assert_array_equal(np.asarray(dots_k), np.asarray(dots_r))
 
 
-def test_fatrow_append_parity_interpret():
-    rng = np.random.default_rng(13)
-    cap = 256
-    id_s = id_sectors(RP)
-    nsec = n_sectors(RP, DP)
-    rows = np.asarray(
-        rng.integers(-127, 128, size=((cap + 1) * nsec, 128)).astype(np.int8)
-    )
-    e = EDGE_BLOCK
-    # unique (tgt, slot) pairs so application order can't matter
-    pairs = rng.choice(cap * RP, size=e, replace=False)
-    tgt = (pairs // RP).astype(np.int32)
-    slot = (pairs % RP).astype(np.int32)
-    # a few dropped edges -> the sacrificial dump row
-    drop = rng.random(e) < 0.1
-    tgt[drop] = cap
-    slot[drop] = 0
-    recs = rng.integers(-127, 128, size=(e, 128)).astype(np.int8)
+def test_append_words_matches_byte_scatter():
+    # the TPU word-scatter append must produce byte-identical tables to the
+    # chunked byte-scatter fallback
+    import jax
 
-    out = fatrow_append(
-        jnp.asarray(rows), jnp.asarray(tgt), jnp.asarray(slot),
-        jnp.asarray(recs), rp=RP, dp=DP, interpret=True,
+    from diskann_tpu.graph import packed as pk
+    from diskann_tpu.ops.distance import Metric
+
+    rng = np.random.default_rng(31)
+    cap, d, dp, rs = 512, 32, 16, 20
+    proj, pscale, pbias2 = pk.train_packed(
+        rng.standard_normal((256, d)).astype(np.float32), dp, Metric.L2
+    )
+    p = pk.alloc_packed(proj, pscale, pbias2, cap, rs)
+    codes, aux = pk.encode(
+        p, jnp.asarray(rng.standard_normal((cap, d)).astype(np.float32)),
+        Metric.L2,
+    )
+    p = pk.set_self_codes(p, jnp.arange(cap, dtype=jnp.int32), codes, aux)
+
+    e = 2048
+    pairs = rng.choice(cap * p.r_pack, size=e, replace=False)
+    tgt = (pairs // p.r_pack).astype(np.int32)
+    slot = (pairs % p.r_pack).astype(np.int32)
+    src = rng.integers(0, cap, size=e).astype(np.int32)
+    ok = rng.random(e) > 0.1
+    tgt_s = jnp.asarray(np.where(ok, tgt, cap).astype(np.int32))
+    slot_s = jnp.asarray(np.where(ok, slot, 0).astype(np.int32))
+    src_j = jnp.asarray(src)
+    aux_g = p.self_aux[jnp.clip(src_j, 0, cap - 1)]
+    codes_g = p.self_codes[jnp.clip(src_j, 0, cap - 1)]
+
+    rows_w = pk.append_edges_words(p, tgt_s, slot_s, src_j, aux_g, codes_g)
+    ref = pk.append_edges(
+        p, jnp.asarray(tgt), jnp.asarray(slot), src_j, jnp.asarray(ok)
+    )  # CPU backend -> byte-scatter fallback
+    live = cap * p.nsec  # dump-row write order differs between forms
+    np.testing.assert_array_equal(
+        np.asarray(rows_w)[:live], np.asarray(ref.rows)[:live]
     )
 
-    exp = rows.reshape(cap + 1, nsec * 128).copy()
-    cpl = 128 // DP
-    for i in range(e):
-        t, s = int(tgt[i]), int(slot[i])
-        ib = (s // 32) * 128 + (s % 32) * 4
-        ab = (id_s + s // 32) * 128 + (s % 32) * 4
-        cb = (2 * id_s + s // cpl) * 128 + (s % cpl) * DP
-        exp[t, ib : ib + 4] = recs[i, 0:4]
-        exp[t, ab : ab + 4] = recs[i, 4:8]
-        exp[t, cb : cb + DP] = recs[i, 8 : 8 + DP]
-    got = np.asarray(out).reshape(cap + 1, nsec * 128)
-    # dump row contents are unspecified
-    np.testing.assert_array_equal(got[:cap], exp[:cap])
+
+def test_block_patch_parity_interpret():
+    rng = np.random.default_rng(23)
+    n_rows = 8 * 4096  # 4096 patchable blocks
+    table = rng.integers(-127, 128, size=(n_rows, 128)).astype(np.int8)
+    g = PATCH_BLOCK
+    # unique destination blocks (duplicate blocks need identical vals)
+    idx = rng.choice(n_rows // 8, size=g, replace=False).astype(np.int32)
+    vals = rng.integers(-127, 128, size=(g * 8, 128)).astype(np.int8)
+
+    out = block_patch(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals),
+        interpret=True,
+    )
+    exp = block_patch_ref(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(exp))
