@@ -56,7 +56,13 @@ def main():
     t0 = time.time()
     flat = FlatIndex(x, Metric.L2)
     _, gt = flat.search(np.asarray(q), k=k)
+    gt = np.asarray(gt)
     LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
+    # drop the device-resident dataset + flat index before the build: the
+    # 1M build's peak (donated state + word-append slices) needs the HBM
+    x = np.asarray(x)
+    q = np.asarray(q)
+    del flat
 
     cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4)
     LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W=4 (packed)")

@@ -282,7 +282,7 @@ class GraphIndex:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
                 schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
-            self.state, self.packed, stats = insert_batch(
+            self.state, self.packed, stats, append_job = insert_batch(
                 self.state,
                 jnp.asarray(schunk),
                 jnp.asarray(chunk),
@@ -291,6 +291,12 @@ class GraphIndex:
                 self.config,
                 self.packed,
             )
+            if append_job is not None:
+                from diskann_tpu.graph import packed as packed_mod
+
+                self.packed = packed_mod.append_edges_deferred(
+                    self.packed, *append_job
+                )
             self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
             cmps += int(stats.cmps.sum())
             hops += int(stats.hops.sum())
@@ -452,7 +458,7 @@ class GraphIndex:
             start if start is not None else self._start(), q,
             l_search=l, beam_width=w, max_hops=self.config.max_hops,
             history_capacity=self.config.history_capacity(l),
-            dedup="list" if w > 1 else "ring",
+            dedup="merge" if mode == "packed" else ("list" if w > 1 else "ring"),
             expand_r=self.packed.r_pack if mode == "packed" else None,
         )
         # full-precision rerank of the top-L (RerankAndFilter,

@@ -310,35 +310,149 @@ refresh_rows_donated = jax.jit(refresh_rows, donate_argnums=(0,))
 set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 
 
-def append_edges_words(packed, tgt_s, slot_s, src, aux, codes) -> jax.Array:
-    """Backedge splice as flat int32 WORD scatters -> new rows table.
+# The per-slice append runs as THREE tiny dispatches (read slice / patch
+# slice / write back) so every step aliases trivially: a single fused
+# program cannot prove the slice-read / in-place-write aliasing and plans
+# table-sized copies (observed 17-29GB transients for a 6.1GB table).
 
-    Word index math: a logical row is nsec*32 words; the id of slot s is
-    word t*nsec*32 + s; its aux word follows id_secs*32 later; its dp/4
-    code words start at 2*id_secs*32 + s*dp/4.  All three scatters are
-    scalar/affine-iota flat forms — the ones XLA lowers fast on TPU."""
-    dp = packed.dp
-    id_s = packed.id_secs
-    nsec = packed.nsec
-    e = tgt_s.shape[0]
-    r_sec = packed.rows.shape[0]
+
+@partial(jax.jit, static_argnames=("lo", "hi"))
+def _read_slice(rows, *, lo, hi):
+    return jax.lax.slice(rows, (lo, 0), (hi, 128))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lo", "id_s", "nsec", "dp"),
+    donate_argnums=(0,),
+)
+def _patch_slice(sl, base, slot_s, id_w, aux_w, code_w,
+                 *, lo, id_s, nsec, dp):
+    srows = sl.shape[0]
+    nsw = srows * 32
     words = jax.lax.bitcast_convert_type(
-        packed.rows.reshape(r_sec, 32, 4), jnp.int32
-    ).reshape(r_sec * 32)
+        sl.reshape(srows, 32, 4), jnp.int32
+    ).reshape(nsw)
+    off = lo * 32
+
+    def rel(i):
+        # negative indices WRAP in jnp indexing; route out-of-slice writes
+        # to an always-OOB positive index so mode="drop" drops them
+        r = i - off
+        return jnp.where((r >= 0) & (r < nsw), r, nsw)
+
+    words = words.at[rel(base + slot_s)].set(id_w, mode="drop")
+    words = words.at[rel(base + id_s * 32 + slot_s)].set(aux_w, mode="drop")
+    kw = jnp.arange(dp // 4, dtype=jnp.int32)[None, :]
+    cw_idx = (base + 2 * id_s * 32 + slot_s * (dp // 4))[:, None] + kw
+    words = words.at[rel(cw_idx).reshape(-1)].set(
+        code_w.reshape(-1), mode="drop"
+    )
+    return jax.lax.bitcast_convert_type(
+        words.reshape(srows, 32), jnp.int8
+    ).reshape(srows, 128)
+
+
+@partial(jax.jit, static_argnames=("lo",), donate_argnums=(0,))
+def _write_slice(rows, patched, *, lo):
+    return jax.lax.dynamic_update_slice(rows, patched, (lo, 0))
+
+
+def _append_slice(rows, base, slot_s, id_w, aux_w, code_w,
+                  *, lo, hi, id_s, nsec, dp):
+    sl = _read_slice(rows, lo=lo, hi=hi)
+    patched = _patch_slice(
+        sl, base, slot_s, id_w, aux_w, code_w,
+        lo=lo, id_s=id_s, nsec=nsec, dp=dp,
+    )
+    return _write_slice(rows, patched, lo=lo)
+
+
+@partial(jax.jit, static_argnames=("nsec",))
+def _append_prep(self_codes, self_aux, tgt, slot, src, ok, nsec: int):
+    cap = self_codes.shape[0]
+    dp = self_codes.shape[1]
+    e = tgt.shape[0]
+    codes = self_codes[jnp.clip(src, 0, cap - 1)]
+    aux = self_aux[jnp.clip(src, 0, cap - 1)]
+    slot_s = jnp.where(ok, slot, 0).astype(jnp.int32)
+    tgt_s = jnp.where(ok, tgt, cap).astype(jnp.int32)
     base = tgt_s * (nsec * 32)
     id_w = jnp.asarray(src, jnp.int32)
     aux_w = jax.lax.bitcast_convert_type(aux, jnp.int32)
     code_w = jax.lax.bitcast_convert_type(
         codes.reshape(e, dp // 4, 4), jnp.int32
-    )                                    # [E, dp/4]
-    words = words.at[base + slot_s].set(id_w, mode="drop")
-    words = words.at[base + id_s * 32 + slot_s].set(aux_w, mode="drop")
-    kw = jnp.arange(dp // 4, dtype=jnp.int32)[None, :]
-    cw_idx = (base + 2 * id_s * 32 + slot_s * (dp // 4))[:, None] + kw
-    words = words.at[cw_idx.reshape(-1)].set(code_w.reshape(-1), mode="drop")
-    return jax.lax.bitcast_convert_type(
-        words.reshape(r_sec, 32), jnp.int8
-    ).reshape(r_sec, 128)
+    )
+    return base, slot_s, id_w, aux_w, code_w
+
+
+def append_edges_deferred(
+    packed: PackedState, tgt, slot, src, ok, *,
+    slice_bytes: int = 1 << 29,  # 512MB: bounds the in-flight transient
+                                 # (2GB+ bitcasts also crash the compiler)
+) -> PackedState:
+    """Host-driven backedge append: word scatters over <=slice_bytes table
+    slices, donated jit dispatches per slice (see `_patch_slice`).  The TPU
+    production append path; CPU falls back to `append_edges`.
+
+    When `tgt` is sorted ascending (the build's backedge job is), each
+    slice only scatters its own contiguous edge segment (host searchsorted
+    + power-of-two bucketed dynamic_slice; edges sliced beyond the segment
+    point at other slices' rows and are dropped by the bounds mask)."""
+    if jax.default_backend() != "tpu" or packed.dp % 4 != 0:
+        return append_edges(packed, tgt, slot, src, ok)
+    nsec = packed.nsec
+    tgt = jnp.asarray(tgt, jnp.int32)
+    base, slot_s, id_w, aux_w, code_w = _append_prep(
+        packed.self_codes, packed.self_aux,
+        tgt, jnp.asarray(slot, jnp.int32),
+        jnp.asarray(src, jnp.int32), jnp.asarray(ok), nsec,
+    )
+    rows = packed.rows
+    r_sec = rows.shape[0]
+    e = tgt.shape[0]
+    n_slices = max(1, -(-(r_sec * 128) // slice_bytes))
+    # slice boundaries at whole logical rows so a target's sectors never
+    # straddle slices
+    srows = -(-(-(-r_sec // n_slices)) // nsec) * nsec
+
+    # raw sorted targets partition the edges; edges with ok=False write only
+    # the sacrificial dump row, so skipping them when their raw target lands
+    # in another slice's segment is harmless
+    tgt_np = np.asarray(tgt)
+    sorted_ok = bool((np.diff(tgt_np) >= 0).all())
+    # barrier: don't stack the slice transients on top of the (possibly
+    # still-executing) producer's peak
+    np.asarray(rows[:1, :1])
+
+    for s in range(0, r_sec, srows):
+        lo, hi = s, min(s + srows, r_sec)
+        if sorted_ok and e > 16384:
+            t_lo, t_hi = lo // nsec, -(-hi // nsec)
+            e_lo = int(np.searchsorted(tgt_np, t_lo, side="left"))
+            e_hi = int(np.searchsorted(tgt_np, t_hi, side="left"))
+            if e_hi == e_lo:
+                continue
+            blen = max(8192, 1 << (e_hi - e_lo - 1).bit_length())
+            blen = min(blen, e)
+            st = min(e_lo, e - blen)
+            args = tuple(
+                jax.lax.dynamic_slice(a, (st,) + (0,) * (a.ndim - 1),
+                                      (blen,) + a.shape[1:])
+                for a in (base, slot_s, id_w, aux_w, code_w)
+            )
+        else:
+            args = (base, slot_s, id_w, aux_w, code_w)
+        rows = _append_slice(
+            rows, *args,
+            lo=lo, hi=hi, id_s=packed.id_secs, nsec=nsec, dp=packed.dp,
+        )
+        # serialize slices: dispatch is async and output buffers are
+        # allocated at enqueue time, so unsynced slices would hold ALL
+        # their ~2.5GB transients concurrently (observed OOM).  A tiny
+        # device->host fetch is the only real barrier on the axon backend.
+        np.asarray(rows[:1, :1])
+    return packed._replace(rows=rows)
 
 
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
@@ -362,21 +476,17 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
 
     import os
 
-    # TPU fast path: flat int32 WORD scatters.  XLA's 2-D column-indexed i8
-    # scatters serialize (~2.5us/index; 4s/batch at E=512k on v5e) while flat
-    # scalar/affine word scatters run ~100ns/index (measured 60-87ms at
-    # E=512k).  The i8<->i32 bitcasts are two full-table copies (~30ms) —
-    # still ~15x faster overall.  Word indices must fit int32.
-    n_words = packed.rows.shape[0] * 32
+    # TPU fast path: flat int32 WORD scatters (sliced, one donated dispatch
+    # per slice).  XLA's 2-D column-indexed i8 scatters serialize
+    # (~2.5us/index; 4s/batch at E=512k on v5e) while flat scalar/affine
+    # word scatters run ~100ns/index (measured 60-87ms at E=512k).
     if (
         jax.default_backend() == "tpu"
-        and n_words < 2**31
         and dp % 4 == 0
         and os.environ.get("DISKANN_NO_WORD_APPEND") != "1"
+        and not isinstance(packed.rows, jax.core.Tracer)  # not under a jit
     ):
-        return packed._replace(
-            rows=append_edges_words(packed, tgt_s, slot_s, src, aux, codes)
-        )
+        return append_edges_deferred(packed, tgt, slot, src, ok)
 
     # Chunked affine-iota scatters.  Measured on v5e at E=512k, cap=1M:
     # a lax.scatter with [E, 2] window indices runs at 7.3s/batch and an

@@ -136,7 +136,13 @@ def beam_search_scored(
     ring age — reference `scratch.visited` semantics).
     dedup="list": best-list membership only — nodes that fell off the list
     may be re-scored (extra cmps, identical results); saves the [B, C, H]
-    compare, the right trade when C is wide (W>=4) and codes are compact."""
+    compare, the right trade when C is wide (W>=4) and codes are compact.
+    dedup="merge": like "list" but duplicates are eliminated INSIDE the
+    merge sort — the same id always carries a bitwise-identical distance
+    (same formula, same inputs), so sorting by (d, id) lands duplicates
+    adjacent where one shifted compare marks them.  Skips the [B, C, L]
+    membership broadcast and the candidate id-sort entirely; requires a
+    scorer with `expand` (distances for all candidates) and no filter."""
     b = queries.shape[0]
     n = adjacency.shape[0]
     r = adjacency.shape[1]
@@ -147,8 +153,12 @@ def beam_search_scored(
     # ring: one segment for start ids + ring_hops segments of C scored ids
     want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
     ring_hops = max(2, -(-max(want_h - s, c) // c))
-    if dedup == "list":
+    if dedup in ("list", "merge"):
         ring_hops = 1  # minimal stub; the in_ring compare is skipped
+    if dedup == "merge":
+        assert scorer_def.expand is not None and accept_fn is None, (
+            "dedup='merge' needs an expand scorer and no filter"
+        )
     h = s + ring_hops * c
     p = pool_capacity if record_pool else 1
 
@@ -268,6 +278,49 @@ def beam_search_scored(
             pool_n = st.pool_n + beam_valid.astype(jnp.int32).sum(axis=1)
         else:
             pool_d, pool_i, pool_n = st.pool_d, st.pool_i, st.pool_n
+
+        # ---- merge-dedup fast path: dedup inside the merge sort ----
+        if dedup == "merge":
+            ci, cd = scorer_def.expand(
+                scorer_data, q_ctx, beam_ids, beam_valid
+            )                                       # ci -1 / cd inf = invalid
+            # sort by (d, id, is_new): a duplicated id carries a bitwise-
+            # identical distance, so its copies land adjacent (old first)
+            md = jnp.concatenate([st.best_d, cd], axis=1)
+            mi = jnp.concatenate([st.best_i, ci], axis=1)
+            fl = jnp.concatenate(
+                [jnp.zeros((b, l), jnp.int32), jnp.ones((b, c), jnp.int32)],
+                axis=1,
+            )
+            me = jnp.concatenate(
+                [best_exp, jnp.zeros((b, c), jnp.int32)], axis=1
+            )
+            md, mi, fl, me = jax.lax.sort(
+                (md, mi, fl, me), dimension=-1, num_keys=3
+            )
+            prev = jnp.concatenate(
+                [jnp.full((b, 1), -2, jnp.int32), mi[:, :-1]], axis=1
+            )
+            dup = (mi == prev) & (mi >= 0)
+            fresh_n = ((fl == 1) & ~dup & (mi >= 0)).astype(jnp.int32).sum(axis=1)
+            md = jnp.where(dup, jnp.inf, md)
+            mi = jnp.where(dup, -1, mi)
+            me = jnp.where(dup, 1, me)
+            md, mi, me = jax.lax.sort((md, mi, me), dimension=-1, num_keys=1)
+            new_st = SearchState(
+                best_d=md[:, :l],
+                best_i=mi[:, :l],
+                best_exp=me[:, :l],
+                ring=st.ring,
+                pool_d=pool_d,
+                pool_i=pool_i,
+                pool_n=pool_n,
+                match_d=st.match_d,
+                match_i=st.match_i,
+                cmps=st.cmps + fresh_n,
+                hops=st.hops + beam_valid.astype(jnp.int32).sum(axis=1),
+            )
+            return it + 1, new_st
 
         # ---- 2+4. expand beam: adjacency gather + scoring ----
         if scorer_def.expand is not None:

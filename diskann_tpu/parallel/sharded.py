@@ -98,7 +98,7 @@ def _sharded_insert(mesh, stacked, ns, starts, batch, row_valid, config):
         st = jax.tree.map(lambda a: a[0], st)
         n, start = n[0], start[0]
         slots = n + jnp.arange(vecs.shape[1], dtype=jnp.int32)
-        st, _packed, stats = insert_batch(
+        st, _packed, stats, _job = insert_batch(
             st, slots, vecs[0], valid[0], start, config,
         )
         new_n = n + valid[0].astype(jnp.int32).sum()

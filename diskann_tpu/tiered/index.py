@@ -124,7 +124,7 @@ class TieredIndex:
         res = beam_search_scored(
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
             l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-            dedup="list", expand_r=g.packed.r_pack,
+            dedup="merge", expand_r=g.packed.r_pack,
         )
         ids = np.asarray(res.ids)
         # ---- stage full rows from host RAM (IO budget applied) ----

@@ -111,13 +111,36 @@ def test_append_words_matches_byte_scatter():
     aux_g = p.self_aux[jnp.clip(src_j, 0, cap - 1)]
     codes_g = p.self_codes[jnp.clip(src_j, 0, cap - 1)]
 
-    rows_w = pk.append_edges_words(p, tgt_s, slot_s, src_j, aux_g, codes_g)
+    def run_sliced(slice_bytes):
+        base, slot_w, id_w, aux_w, code_w = pk._append_prep(
+            p.self_codes, p.self_aux, jnp.asarray(tgt), jnp.asarray(slot),
+            src_j, jnp.asarray(ok), p.nsec,
+        )
+        rows = jnp.array(p.rows)  # copy: _append_slice donates its input
+        r_sec = rows.shape[0]
+        n_slices = max(1, -(-(r_sec * 128) // slice_bytes))
+        srows = -(-r_sec // n_slices)
+        for s in range(n_slices):
+            lo, hi = s * srows, min((s + 1) * srows, r_sec)
+            rows = pk._append_slice(
+                rows, base, slot_w, id_w, aux_w, code_w,
+                lo=lo, hi=hi, id_s=p.id_secs, nsec=p.nsec, dp=p.dp,
+            )
+        return rows
+
+    rows_w = run_sliced(1 << 40)   # single slice
+    # sliced variant (bounded-transient path) must agree byte-for-byte,
+    # including negative/OOB word indices being dropped per slice
+    rows_s = run_sliced(16384)
     ref = pk.append_edges(
         p, jnp.asarray(tgt), jnp.asarray(slot), src_j, jnp.asarray(ok)
     )  # CPU backend -> byte-scatter fallback
     live = cap * p.nsec  # dump-row write order differs between forms
     np.testing.assert_array_equal(
         np.asarray(rows_w)[:live], np.asarray(ref.rows)[:live]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rows_s)[:live], np.asarray(ref.rows)[:live]
     )
 
 

@@ -100,3 +100,39 @@ def test_packed_build_mode_recall(rng):
     r_f = knn_recall(ids_f, gt_i, 10)
     assert r_f >= 0.9, r_f   # packed-built graph quality
     assert r_p >= 0.85, r_p
+
+
+def test_merge_dedup_matches_list(rng):
+    # dedup="merge" (dedup inside the merge sort) must return exactly the
+    # same results as dedup="list" (explicit membership compare)
+    from diskann_tpu.graph.scorers import packed_scorer
+    from diskann_tpu.graph.search import beam_search_scored
+
+    n, d = 1200, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((40, d)).astype(np.float32)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=512)
+    idx.attach_packed(dp=16)
+
+    sdef, sdata = packed_scorer(idx.packed, Metric.L2)
+    import jax.numpy as jnp
+
+    start = idx._start()
+    out = {}
+    for mode in ("list", "merge"):
+        res = beam_search_scored(
+            sdef, sdata, idx.state.adjacency, start, jnp.asarray(q),
+            l_search=24, beam_width=4, max_hops=64,
+            dedup=mode, expand_r=idx.packed.r_pack,
+        )
+        out[mode] = res
+    np.testing.assert_array_equal(
+        np.asarray(out["list"].ids), np.asarray(out["merge"].ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["list"].dists), np.asarray(out["merge"].dists)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["list"].cmps), np.asarray(out["merge"].cmps)
+    )
