@@ -39,6 +39,9 @@ def main():
     n = int(os.environ.get("BENCH_N", 1_000_000))
     nq = int(os.environ.get("BENCH_NQ", 8192))
     mode = os.environ.get("BENCH_MODE", "packed")
+    r_deg = int(os.environ.get("BENCH_R", 64))
+    w = int(os.environ.get("BENCH_W", 4))
+    sbs = int(os.environ.get("BENCH_SBS", 4096))
     d = 128
     k = 10
     target_recall = 0.95
@@ -64,11 +67,12 @@ def main():
     q = np.asarray(q)
     del flat
 
-    cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4)
-    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W=4 (packed)")
+    cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
+    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
+        f"sbs={sbs} (packed)")
     t0 = time.time()
     idx = GraphIndex.build(
-        np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=4096,
+        np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=sbs,
         build_mode="packed", packed_dp=64,
     )
     build_s = time.time() - t0

@@ -116,6 +116,113 @@ def _sharded_insert(mesh, stacked, ns, starts, batch, row_valid, config):
     )(stacked, ns, starts, batch, row_valid)
 
 
+@partial(jax.jit, static_argnames=("mesh", "config", "dp"))
+def _sharded_attach_packed(mesh, stacked, proj, pscale, pbias2, config, dp):
+    """Build a per-shard packed sector layout: encode the local vectors and
+    rebuild every local fat row — all shard-local (no collectives)."""
+    from diskann_tpu.graph import packed as pk
+
+    def local(st, proj, pscale, pbias2):
+        st = jax.tree.map(lambda a: a[0], st)
+        cap = st.capacity
+        p = pk.alloc_packed(
+            proj, pscale, pbias2, cap, config.max_degree_with_slack
+        )
+        ids = jnp.arange(cap, dtype=jnp.int32)
+        codes, aux = pk.encode(p, st.vectors, config.metric)
+        p = pk.set_self_codes(p, ids, codes, aux)
+        bs = 65536
+        for off in range(0, cap, bs):
+            rows = jnp.arange(off, min(off + bs, cap), dtype=jnp.int32)
+            p = pk.refresh_rows(p, st.adjacency, rows)
+        return jax.tree.map(lambda a: a[None], p)
+
+    spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_state, P(), P(), P()),
+        out_specs=jax.tree.map(
+            lambda _: P("shard"),
+            _packed_structure(proj, pscale, pbias2, stacked, config, dp),
+        ),
+        check_vma=False,
+    )(stacked, proj, pscale, pbias2)
+
+
+def _packed_structure(proj, pscale, pbias2, stacked, config, dp):
+    """Pytree prototype matching _sharded_attach_packed's local output."""
+    from diskann_tpu.graph import packed as pk
+
+    cap = stacked.vectors.shape[1]
+    rp = pk.padded_degree(config.max_degree_with_slack, dp)
+    nsec = pk.n_sectors(rp, dp)
+    return pk.PackedState(
+        proj=proj, pscale=pscale, pbias2=pbias2,
+        self_codes=jnp.zeros((1, cap, dp), jnp.int8),
+        self_aux=jnp.zeros((1, cap), jnp.float32),
+        rows=jnp.zeros((1, (cap + 1) * nsec, 128), jnp.int8),
+        r_pack=rp,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "config", "cap_per_shard", "k", "l_search"),
+)
+def _sharded_search_packed(
+    mesh, stacked, packed, ns, starts, queries,
+    *, config, cap_per_shard, k, l_search,
+):
+    """Packed (int8 fat-row) traversal per shard + local full-precision
+    rerank, then one all_gather + merge over the mesh — the single-chip
+    production search at pod scale."""
+    from diskann_tpu.graph.scorers import packed_scorer
+    from diskann_tpu.graph.search import beam_search_scored
+
+    def local(st, p, n, start, q):
+        st = jax.tree.map(lambda a: a[0], st)
+        p = jax.tree.map(lambda a: a[0], p)
+        n, start = n[0], start[0]
+        sdef, sdata = packed_scorer(p, config.metric)
+        res = beam_search_scored(
+            sdef, sdata, st.adjacency, start, q,
+            l_search=l_search,
+            beam_width=config.beam_width,
+            max_hops=config.max_hops,
+            dedup="merge",
+            expand_r=p.r_pack,
+        )
+        # local full-precision rerank before the merge (RerankAndFilter)
+        cap = st.capacity
+        safe = jnp.clip(res.ids, 0, cap - 1)
+        cvec = st.vectors[safe]
+        csq = st.sq_norms[safe]
+        dd = distance_to_set(q, cvec, config.metric, x_sq_norms=csq)
+        dd = jnp.where((res.ids >= 0) & st.valid[safe], dd, jnp.inf)
+        dd, ii = jax.lax.sort((dd, jnp.where(res.ids >= 0, res.ids, -1)),
+                              dimension=-1, num_keys=1)
+        shard = jax.lax.axis_index("shard")
+        gids = jnp.where(ii >= 0, ii + shard * cap_per_shard, -1)
+        all_d = jax.lax.all_gather(dd[:, :k], "shard")
+        all_i = jax.lax.all_gather(gids[:, :k], "shard")
+        s, b, l = all_d.shape
+        md = jnp.transpose(all_d, (1, 0, 2)).reshape(b, s * l)
+        mi = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * l)
+        md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=1)
+        return md[:, :k], mi[:, :k], res.cmps
+
+    spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    spec_packed = jax.tree.map(lambda _: P("shard"), packed)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_state, spec_packed, P("shard"), P("shard"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(stacked, packed, ns, starts, queries)
+
+
 class ShardedGraphIndex:
     """A Vamana index partitioned across the devices of a mesh."""
 
@@ -169,14 +276,46 @@ class ShardedGraphIndex:
             jnp.asarray(batch), jnp.asarray(valid), self.config,
         )
 
-    def search(self, queries, k: int, *, l_search: int | None = None):
+    def attach_packed(self, *, dp: int = 64, train_sample=None) -> None:
+        """Build per-shard packed sector layouts (enables mode="packed"
+        search — int8 fat-row traversal on every shard)."""
+        from diskann_tpu.graph import packed as pk
+
+        if train_sample is None:
+            # sample from shard 0's live vectors
+            v0 = np.asarray(self.stacked.vectors[0])
+            n0 = max(int(np.asarray(self.ns[0])), 1)
+            train_sample = v0[: max(n0, 256)]
+        proj, pscale, pbias2 = pk.train_packed(
+            np.asarray(train_sample, np.float32), min(dp, self.dim),
+            self.config.metric,
+        )
+        self.packed = _sharded_attach_packed(
+            self.mesh, self.stacked, proj, pscale, pbias2,
+            self.config, proj.shape[1],
+        )
+
+    packed = None
+
+    def search(self, queries, k: int, *, l_search: int | None = None,
+               mode: str = "full"):
         queries = jnp.asarray(np.asarray(queries, np.float32))
         l = l_search or max(k, self.config.l_build)
-        d, i, cmps = _sharded_search(
-            self.mesh, self.stacked, self.ns, self.starts, queries,
-            config=self.config, cap_per_shard=self.cap_per_shard,
-            k=k, l_search=l,
-        )
+        if mode == "packed":
+            if self.packed is None:
+                self.attach_packed()
+            d, i, cmps = _sharded_search_packed(
+                self.mesh, self.stacked, self.packed, self.ns, self.starts,
+                queries,
+                config=self.config, cap_per_shard=self.cap_per_shard,
+                k=k, l_search=l,
+            )
+        else:
+            d, i, cmps = _sharded_search(
+                self.mesh, self.stacked, self.ns, self.starts, queries,
+                config=self.config, cap_per_shard=self.cap_per_shard,
+                k=k, l_search=l,
+            )
         return np.asarray(d), np.asarray(i), np.asarray(cmps)
 
 

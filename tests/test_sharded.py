@@ -99,3 +99,34 @@ def test_sharded_build_with_kmeans_partition(rng, mesh):
     # hard (overlap=1) partitioning loses some cross-shard neighbors at the
     # tail of the top-10; ~3/4 exact matches is the expected operating point
     assert close.mean() >= 0.7
+
+
+def test_sharded_packed_search(rng, mesh):
+    # packed (int8 fat-row) traversal per shard must reach the recall of
+    # the full-precision sharded search
+    n, d = 1600, 16
+    centers = rng.standard_normal((30, d)).astype(np.float32)
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=40)] + 0.1 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=512)
+    assign = np.arange(n) % idx.n_shards
+    idx.insert(x, assign)
+    idx.attach_packed(dp=16, train_sample=x[:512])
+
+    dists, gids, _ = idx.search(q, k=10, l_search=40, mode="packed")
+    per = [np.nonzero(assign == s)[0] for s in range(idx.n_shards)]
+    back = {}
+    for s, rows in enumerate(per):
+        for j, row in enumerate(rows):
+            back[s * idx.cap_per_shard + j] = row
+    mapped = np.array(
+        [[back.get(int(g), -1) for g in row] for row in gids], np.int64
+    )
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    r = knn_recall(mapped, gt_i, 10)
+    assert r >= 0.9, r
