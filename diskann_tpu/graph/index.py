@@ -340,7 +340,7 @@ class GraphIndex:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
             q_dev = jnp.asarray(q)
             rstart = self._router_starts(q_dev, mode)
-            if mode in ("pq", "sq", "packed"):
+            if mode in ("pq", "sq", "packed", "spherical"):
                 fd, fi, res = self._quant_search_batch(
                     q_dev, k, l, w, mode,
                     start=rstart if rstart is not None else start,
@@ -405,6 +405,28 @@ class GraphIndex:
         self.sq_bias2 = bias2
         self.sq_aux = sq_aux_norms(codes_i8, sq.scale)
 
+    def attach_spherical(self, *, n_bits: int = 4, seed: int = 0) -> None:
+        """Train a spherical (RaBitQ-style) quantizer and bit-pack all
+        current vectors.  Enables `search(mode="spherical")` — 1/2/4-bit
+        traversal at the codes' true sub-byte footprint, with
+        full-precision rerank (reference spherical inmem provider over
+        BitSlice storage, `diskann-providers/.../inmem/spherical.rs`)."""
+        from diskann_tpu.quant.spherical import train_spherical
+
+        sq = train_spherical(jax.random.key(seed), self.dim, n_bits=n_bits)
+        self.sph = sq
+        vecs = self.state.vectors[: self.n]
+        pc = sq.pack(sq.encode(vecs))
+        wd = pc.words.shape[1]
+        words = jnp.zeros((self.state.capacity, wd), pc.words.dtype)
+        self.sph_words = words.at[: self.n].set(pc.words)
+        self.sph_norms = jnp.zeros(
+            (self.state.capacity,), jnp.float32
+        ).at[: self.n].set(pc.norms)
+        self.sph_cscale = jnp.zeros(
+            (self.state.capacity,), jnp.float32
+        ).at[: self.n].set(pc.cscale)
+
     def attach_packed(self, *, dp: int | None = 64, sigma: float = 4.0) -> None:
         """Build the packed neighbor-code search layout: PCA-project vectors
         to ``dp`` dims, quantize to int8, and materialize each node's
@@ -448,6 +470,14 @@ class GraphIndex:
             )
         elif mode == "packed":
             sdef, sdata = packed_scorer(self.packed, self.config.metric)
+        elif mode == "spherical":
+            from diskann_tpu.graph.scorers import spherical_scorer
+
+            sdef, sdata = spherical_scorer(
+                self.sph_words, self.sph_norms, self.sph_cscale,
+                self.sph.rotation, self.dim, int(self.sph.n_bits),
+                self.config.metric,
+            )
         else:
             sdef, sdata = sq_scorer(
                 self.sq_codes, self.sq.scale, self.sq_bias2, self.sq_aux,

@@ -205,6 +205,68 @@ def sq_scorer(codes_i8, scale, bias2, aux, metric: Metric):
     return _SQ_DEFS[metric], (codes_i8, scale, bias2, aux)
 
 
+# -------------------------------------------------------------- spherical
+# Sub-byte (RaBitQ-style) traversal: candidates' bit-packed spherical codes
+# are gathered as uint32 words (1/2/4-bit codes cost 32/16/8 bytes per
+# 128-dim row vs 128 for int8 — the gather-bandwidth analogue of the
+# reference's spherical inmem provider,
+# `diskann-providers/.../inmem/spherical.rs` over BitSlice storage).
+def _sph_prep(metric: Metric):
+    def prep(data, queries):
+        words, norms, cscale, rotation = data
+        qr = queries.astype(jnp.float32) @ rotation
+        qsum = qr.sum(axis=1)
+        qsq = jnp.sum(qr * qr, axis=1)
+        return (qr, qsum, qsq)
+
+    return prep
+
+
+def _sph_score(metric: Metric, dim: int, n_bits: int):
+    def score(data, q_ctx, ids, valid):
+        from diskann_tpu.quant.bits import unpack_bits
+
+        words, norms, cscale, rotation = data
+        qr, qsum, qsq = q_ctx
+        n = words.shape[0]
+        b, c = ids.shape
+        safe = jnp.clip(jnp.where(valid, ids, 0), 0, n - 1)
+        w = words[safe]                                   # [B, C, Wd] u32
+        codes = unpack_bits(
+            w.reshape(b * c, -1), n_bits, dim
+        ).reshape(b, c, dim).astype(jnp.float32)          # [B, C, d]
+        raw = jax.lax.dot_general(
+            qr, codes, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # [B, C]
+        lv = float((1 << n_bits) - 1)
+        nc = (norms * cscale)[safe]
+        dot_qy = nc * ((2.0 / lv) * raw - qsum[:, None])
+        if metric == Metric.InnerProduct:
+            d = -dot_qy
+        else:
+            d = qsq[:, None] + (norms[safe] ** 2) - 2.0 * dot_qy
+        return jnp.where(valid, d, jnp.inf)
+
+    return score
+
+
+_SPH_DEFS = {}
+
+
+def spherical_scorer(words, norms, cscale, rotation, dim: int, n_bits: int,
+                     metric: Metric):
+    """Bit-packed spherical scorer; `data` carries the packed word table
+    (dim/n_bits are static — they parameterize the bit-slicing shifts)."""
+    key = (metric, dim, n_bits)
+    if key not in _SPH_DEFS:
+        _SPH_DEFS[key] = ScorerDef(
+            f"sph:{metric.value}:{n_bits}b", _sph_prep(metric),
+            _sph_score(metric, dim, n_bits),
+        )
+    return _SPH_DEFS[key], (words, norms, cscale, rotation)
+
+
 # ------------------------------------------------------------ packed fat-row
 # Fat-row layout (`graph/packed.py`): one int8 row per node holds the ids,
 # aux terms and int8 codes of ALL its neighbors.  Expanding a beam node is

@@ -136,3 +136,23 @@ def test_merge_dedup_matches_list(rng):
     np.testing.assert_array_equal(
         np.asarray(out["list"].cmps), np.asarray(out["merge"].cmps)
     )
+
+
+def test_spherical_search_recall(rng):
+    # sub-byte (4-bit) spherical traversal + full-precision rerank
+    n, d = 1500, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=50)] + 0.2 * rng.standard_normal(
+        (50, d)
+    ).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=512)
+    idx.attach_spherical(n_bits=4)
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, ids, _ = idx.search(q, k=10, l_search=48, mode="spherical",
+                           beam_width=4)
+    assert knn_recall(ids, gt_i, 10) >= 0.9
