@@ -71,6 +71,15 @@ def get_lib():
     lib.hio_cache_misses.restype = ctypes.c_int64
     lib.hio_cache_misses.argtypes = [ctypes.c_void_p]
     lib.hio_cache_destroy.argtypes = [ctypes.c_void_p]
+    lib.hio_pipe_create.restype = ctypes.c_void_p
+    lib.hio_pipe_create.argtypes = [ctypes.c_int64]
+    lib.hio_pipe_submit.restype = ctypes.c_int64
+    lib.hio_pipe_submit.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.hio_pipe_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.hio_pipe_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -125,7 +134,33 @@ class NativeVectorFile:
             "misses": self._lib.hio_cache_misses(self._cache),
         }
 
+    def gather_async(self, ids):
+        """Submit an async row gather; returns a handle for `wait()`.
+        Overlap pattern (the io_uring submit/complete split): submit batch
+        i+1's gather, compute on batch i, then wait."""
+        np = self._np
+        if self._pipe is None:
+            self._pipe = self._lib.hio_pipe_create(self.threads)
+        ids = np.ascontiguousarray(ids, np.int64)
+        out = np.empty((ids.size, self.dim), np.float32 if self.elem_size == 4
+                       else np.uint8)
+        ticket = self._lib.hio_pipe_submit(
+            self._pipe, self._h, ids.ctypes.data_as(ctypes.c_void_p),
+            ids.size, out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return (ticket, ids, out)   # keep ids/out alive until wait
+
+    def wait(self, handle):
+        ticket, _ids, out = handle
+        self._lib.hio_pipe_wait(self._pipe, ticket)
+        return out
+
+    _pipe = None
+
     def close(self):
+        if self._pipe:
+            self._lib.hio_pipe_destroy(self._pipe)
+            self._pipe = None
         if self._cache:
             self._lib.hio_cache_destroy(self._cache)
             self._cache = None

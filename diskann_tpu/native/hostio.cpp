@@ -11,8 +11,11 @@
 // Exposed as a plain C ABI consumed from Python via ctypes (no pybind11).
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <memory>
 #include <mutex>
 #include <thread>
 #include <unordered_map>
@@ -91,6 +94,106 @@ struct LruCache {
         std::memcpy(slab.data() + slot * row_bytes, src, row_bytes);
         pos[row] = slot;
         return slot;
+    }
+};
+
+struct Pipe {
+    // async gather pipeline: tickets enqueue row-gather jobs executed by a
+    // worker pool; wait() blocks until a ticket's chunks all complete.
+    // The io_uring submission/completion-queue analogue.
+    struct Job {
+        const File* f;
+        std::shared_ptr<std::vector<int64_t>> ids;
+        uint8_t* out;              // caller-owned destination
+        int64_t lo, hi;            // chunk range within ids
+        std::atomic<int64_t>* remaining;
+    };
+    std::deque<Job> q;
+    std::mutex mu;
+    std::condition_variable cv;
+    std::condition_variable done_cv;
+    std::vector<std::thread> workers;
+    std::unordered_map<int64_t, std::shared_ptr<std::atomic<int64_t>>> tickets;
+    std::unordered_map<int64_t, std::shared_ptr<std::vector<int64_t>>> ticket_ids;
+    int64_t next_ticket = 1;
+    bool stop = false;
+
+    explicit Pipe(int64_t n_threads) {
+        for (int64_t t = 0; t < n_threads; ++t) {
+            workers.emplace_back([this] { run(); });
+        }
+    }
+
+    ~Pipe() {
+        {
+            std::lock_guard<std::mutex> lock(mu);
+            stop = true;
+        }
+        cv.notify_all();
+        for (auto& w : workers) w.join();
+    }
+
+    void run() {
+        for (;;) {
+            Job job;
+            {
+                std::unique_lock<std::mutex> lock(mu);
+                cv.wait(lock, [this] { return stop || !q.empty(); });
+                if (stop && q.empty()) return;
+                job = std::move(q.front());
+                q.pop_front();
+            }
+            const int64_t rb = job.f->row_bytes;
+            const int64_t* ids = job.ids->data();
+            for (int64_t i = job.lo; i < job.hi; ++i) {
+                int64_t id = ids[i];
+                if (id < 0) id = 0;
+                if (id >= job.f->n) id = job.f->n - 1;
+                std::memcpy(job.out + i * rb, job.f->base + id * rb, rb);
+            }
+            if (job.remaining->fetch_sub(1) == 1) {
+                std::lock_guard<std::mutex> lock(mu);
+                done_cv.notify_all();
+            }
+        }
+    }
+
+    int64_t submit(const File* f, const int64_t* ids, int64_t count,
+                   uint8_t* out) {
+        auto idv = std::make_shared<std::vector<int64_t>>(ids, ids + count);
+        int64_t n_chunks =
+            std::max<int64_t>(1, std::min<int64_t>((int64_t)workers.size(),
+                                                   count / 2048 + 1));
+        auto rem = std::make_shared<std::atomic<int64_t>>(n_chunks);
+        int64_t ticket;
+        {
+            std::lock_guard<std::mutex> lock(mu);
+            ticket = next_ticket++;
+            tickets[ticket] = rem;
+            ticket_ids[ticket] = idv;
+            int64_t per = (count + n_chunks - 1) / n_chunks;
+            for (int64_t c = 0; c < n_chunks; ++c) {
+                int64_t lo = c * per, hi = std::min(count, lo + per);
+                if (lo >= hi) { rem->fetch_sub(1); continue; }
+                q.push_back(Job{f, idv, out, lo, hi, rem.get()});
+            }
+        }
+        cv.notify_all();
+        return ticket;
+    }
+
+    void wait(int64_t ticket) {
+        std::shared_ptr<std::atomic<int64_t>> rem;
+        {
+            std::lock_guard<std::mutex> lock(mu);
+            auto it = tickets.find(ticket);
+            if (it == tickets.end()) return;
+            rem = it->second;
+        }
+        std::unique_lock<std::mutex> lock(mu);
+        done_cv.wait(lock, [&] { return rem->load() <= 0; });
+        tickets.erase(ticket);
+        ticket_ids.erase(ticket);
     }
 };
 
@@ -182,5 +285,19 @@ void hio_gather_cached(void* h, void* c, const int64_t* ids, int64_t count,
 int64_t hio_cache_hits(void* c) { return ((LruCache*)c)->hits.load(); }
 int64_t hio_cache_misses(void* c) { return ((LruCache*)c)->misses.load(); }
 void hio_cache_destroy(void* c) { delete (LruCache*)c; }
+
+// ---- async gather pipeline (io_uring submission-queue analogue) ----
+void* hio_pipe_create(int64_t n_threads) { return new Pipe(n_threads); }
+
+// Enqueue an async gather of `count` rows into caller-owned `out`
+// (count * row_bytes; must stay alive until hio_pipe_wait).  Returns a
+// ticket id.
+int64_t hio_pipe_submit(void* p, void* h, const int64_t* ids, int64_t count,
+                        uint8_t* out) {
+    return ((Pipe*)p)->submit((File*)h, ids, count, out);
+}
+
+void hio_pipe_wait(void* p, int64_t ticket) { ((Pipe*)p)->wait(ticket); }
+void hio_pipe_destroy(void* p) { delete (Pipe*)p; }
 
 }  // extern "C"

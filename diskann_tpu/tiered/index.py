@@ -64,6 +64,22 @@ class HostVectorStore:
         safe = np.clip(ids, 0, self.n - 1)
         return np.ascontiguousarray(self.vectors[safe], dtype=np.float32)
 
+    def fetch_async(self, ids: np.ndarray):
+        """Submit an async gather (native worker pool); pair with
+        `fetch_wait`.  Falls back to a synchronous gather."""
+        ids = np.asarray(ids)
+        if self._native is not None:
+            return ("native", ids.shape, self._native.gather_async(
+                ids.reshape(-1)
+            ))
+        return ("sync", ids.shape, self.fetch(ids))
+
+    def fetch_wait(self, handle) -> np.ndarray:
+        kind, shape, payload = handle
+        if kind == "native":
+            return self._native.wait(payload).reshape(shape + (self.dim,))
+        return payload
+
 
 class TieredIndex:
     """DiskANN-style two-tier index for datasets larger than HBM."""
@@ -143,6 +159,72 @@ class TieredIndex:
             g.state.valid, g.config.metric, k,
         )
         return np.asarray(d), np.asarray(i), res
+
+    def search_batched(
+        self,
+        queries,
+        k: int = 10,
+        *,
+        batch_size: int = 4096,
+        l_search: int | None = None,
+        beam_width: int = 4,
+        rerank_l: int | None = None,
+    ):
+        """Software-pipelined tiered search: batch i's host staging (async
+        native gather threads) and rerank overlap batch i+1's device
+        traversal — the TPU analogue of the disk tier's async sector reads
+        overlapping PQ compute (`disk_provider.rs:683-722`)."""
+        from diskann_tpu.graph.scorers import packed_scorer
+        from diskann_tpu.graph.search import beam_search_scored
+
+        g = self.graph
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        b = queries.shape[0]
+        l = l_search or max(k, g.config.l_build)
+        budget = min(self.io_limit or l, rerank_l or l, l)
+        sdef, sdata = packed_scorer(g.packed, g.config.metric)
+
+        def traverse(qb):
+            return beam_search_scored(
+                sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(qb),
+                l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
+                dedup="merge", expand_r=g.packed.r_pack,
+            )
+
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int32)
+        cmps = np.zeros((b,), np.int32)
+        offs = list(range(0, b, batch_size))
+        pending = None   # (off, m, stage_ids, handle, qb)
+        for idx, off in enumerate(offs + [None]):
+            if off is not None:
+                qb = queries[off : off + batch_size]
+                res = traverse(qb)            # device dispatch (async)
+                ids = np.asarray(res.ids)     # sync: traversal done
+                stage_ids = ids[:, :budget]
+                t0 = time.time()
+                handle = self.store.fetch_async(stage_ids)
+                self.io_stats["rows_staged"] += int(stage_ids.size)
+                self.io_stats["stage_s"] += time.time() - t0
+                nxt = (off, qb.shape[0], stage_ids, handle, qb,
+                       np.asarray(res.cmps))
+            else:
+                nxt = None
+            if pending is not None:
+                poff, m, stage_ids, handle, qb, pc = pending
+                rows = self.store.fetch_wait(handle)
+                d, i = _tiered_rerank(
+                    jnp.asarray(qb), jnp.asarray(rows),
+                    jnp.asarray(stage_ids), g.state.valid,
+                    g.config.metric, k,
+                )
+                out_d[poff : poff + m] = np.asarray(d)[:m]
+                out_i[poff : poff + m] = np.asarray(i)[:m]
+                cmps[poff : poff + m] = pc[:m]
+            pending = nxt
+        return out_d, out_i, cmps
 
 
 @partial(jax.jit, static_argnames=("metric", "k"))

@@ -83,3 +83,28 @@ def test_tiered_uses_native_when_file_backed(tmp_path, rng):
     got = store.fetch(np.array([[1, 2], [3, 99]]))
     assert got.shape == (2, 2, 8)
     np.testing.assert_allclose(got[1, 1], x[99])
+
+
+def test_tiered_batched_pipeline_matches(tmp_path, rng):
+    # search_batched (async native staging pipeline) must match search()
+    n, d = 1200, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    from diskann_tpu.io_.fbin import write_fbin
+    from diskann_tpu.tiered.index import HostVectorStore, TieredIndex
+
+    path = str(tmp_path / "vecs.fbin")
+    write_fbin(path, x)
+
+    from diskann_tpu import GraphIndex
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    g = GraphIndex.build(x, cfg, insert_batch_size=512)
+    g.attach_packed(dp=16)
+    store = HostVectorStore.from_fbin(path, cache_rows=256)
+    ti = TieredIndex(g, store)
+
+    q = rng.standard_normal((100, d)).astype(np.float32)
+    d1, i1, _ = ti.search(q, k=10, l_search=32)
+    d2, i2, _ = ti.search_batched(q, k=10, l_search=32, batch_size=32)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
