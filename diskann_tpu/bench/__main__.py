@@ -22,6 +22,8 @@ def main(argv=None):
     r = sub.add_parser("run")
     r.add_argument("jobs")
     r.add_argument("-o", "--out")
+    r.add_argument("--trace", help="export host-side spans as JSON "
+                   "(json_spancollector analogue)")
 
     sub.add_parser("list")
 
@@ -40,12 +42,19 @@ def main(argv=None):
         for name in reg.names():
             print(name)
     elif args.cmd == "run":
+        if args.trace:
+            from diskann_tpu import trace
+
+            trace.enable(True)
         results = reg.run_file(args.jobs)
         text = json.dumps(results, indent=2)
         if args.out:
             with open(args.out, "w") as f:
                 f.write(text)
         print(text)
+        if args.trace:
+            n = trace.export_spans(args.trace)
+            print(f"wrote {n} spans to {args.trace}", file=sys.stderr)
     elif args.cmd == "check":
         from diskann_tpu.bench.registry import check_tolerances
 

@@ -271,6 +271,8 @@ class GraphIndex:
         slots[reuse:] = np.arange(self.n, self.n + fresh)
         self._ensure_capacity(self.n + _round_up(fresh, self.insert_batch_size))
 
+        from diskann_tpu.trace import span
+
         bs = self.insert_batch_size
         cmps = hops = 0
         self._invalidate_start()  # one medoid refresh per insert call
@@ -282,21 +284,23 @@ class GraphIndex:
                 chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
                 schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
-            self.state, self.packed, stats, append_job = insert_batch(
-                self.state,
-                jnp.asarray(schunk),
-                jnp.asarray(chunk),
-                row_valid,
-                self._start(),
-                self.config,
-                self.packed,
-            )
-            if append_job is not None:
-                from diskann_tpu.graph import packed as packed_mod
-
-                self.packed = packed_mod.append_edges_deferred(
-                    self.packed, *append_job
+            with span("insert.batch", offset=off, rows=m):
+                self.state, self.packed, stats, append_job = insert_batch(
+                    self.state,
+                    jnp.asarray(schunk),
+                    jnp.asarray(chunk),
+                    row_valid,
+                    self._start(),
+                    self.config,
+                    self.packed,
                 )
+                if append_job is not None:
+                    from diskann_tpu.graph import packed as packed_mod
+
+                    with span("insert.packed_append"):
+                        self.packed = packed_mod.append_edges_deferred(
+                            self.packed, *append_job
+                        )
             self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
             cmps += int(stats.cmps.sum())
             hops += int(stats.hops.sum())
@@ -333,6 +337,8 @@ class GraphIndex:
         cmps = np.zeros((b,), np.int32)
         hops = np.zeros((b,), np.int32)
         start = self._start()
+        from diskann_tpu.trace import span as _span
+
         for off in range(0, b, bs):
             q = queries[off : off + bs]
             m = q.shape[0]

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diskann_tpu.graph.config import GraphConfig
+from diskann_tpu.trace import span
 from diskann_tpu.graph.index import GraphIndex
 from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
 
@@ -201,8 +202,9 @@ class TieredIndex:
         for idx, off in enumerate(offs + [None]):
             if off is not None:
                 qb = queries[off : off + batch_size]
-                res = traverse(qb)            # device dispatch (async)
-                ids = np.asarray(res.ids)     # sync: traversal done
+                with span("tiered.traverse", offset=off, rows=qb.shape[0]):
+                    res = traverse(qb)        # device dispatch (async)
+                    ids = np.asarray(res.ids)  # sync: traversal done
                 stage_ids = ids[:, :budget]
                 t0 = time.time()
                 handle = self.store.fetch_async(stage_ids)
@@ -214,7 +216,8 @@ class TieredIndex:
                 nxt = None
             if pending is not None:
                 poff, m, stage_ids, handle, qb, pc = pending
-                rows = self.store.fetch_wait(handle)
+                with span("tiered.stage_wait", offset=poff):
+                    rows = self.store.fetch_wait(handle)
                 d, i = _tiered_rerank(
                     jnp.asarray(qb), jnp.asarray(rows),
                     jnp.asarray(stage_ids), g.state.valid,
