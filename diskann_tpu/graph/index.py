@@ -224,7 +224,8 @@ class GraphIndex:
         strategy: the matmul is nearly free on the MXU and cuts the early
         hops every query spends walking down from one global medoid)."""
         cfg = self.config
-        if cfg.router_size <= 0 or self.n_live < 4 * cfg.router_size:
+        size = min(cfg.router_size, self.n_live // 4)
+        if cfg.router_size <= 0 or size < 64:
             return None
         if self._cached_start is not None and mode not in ("packed",):
             return None
@@ -232,8 +233,7 @@ class GraphIndex:
             valid = np.asarray(self.state.valid[: self.n])
             live = np.nonzero(valid)[0]
             rng = np.random.default_rng(0xD15C)
-            sel = rng.choice(live, size=min(cfg.router_size, len(live)),
-                             replace=False)
+            sel = rng.choice(live, size=min(size, len(live)), replace=False)
             self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
         if mode == "packed" or getattr(self, "_hbm_vectors_dropped", False):
             return _router_topk_packed(

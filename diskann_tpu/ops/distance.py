@@ -63,6 +63,14 @@ def _dots(q: jax.Array, x: jax.Array) -> jax.Array:
     """Batched dot products on the MXU.
 
     q: [B, d], x: [B, C, d] or [N, d]  ->  [B, C] / [B, N] in f32.
+
+    Precision=HIGHEST is load-bearing: on TPU an f32 matmul truncates its
+    INPUTS to bf16 by default (`preferred_element_type` only widens the
+    accumulator), and bf16's 8-bit mantissa mis-ranks near-tied neighbors
+    — measured on 250k clustered data, ~1.9% of exact-groundtruth entries
+    came back wrong, capping every recall curve at 0.983.  The reference
+    computes full-f32 SIMD distances; exactness here is required for
+    groundtruth, rerank, and prune parity.
     """
     qf = q.astype(jnp.float32)
     xf = x.astype(jnp.float32)
@@ -71,11 +79,13 @@ def _dots(q: jax.Array, x: jax.Array) -> jax.Array:
             qf, xf,
             dimension_numbers=(((1,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return jax.lax.dot_general(
         qf, xf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
