@@ -55,17 +55,25 @@ def main():
     x, q = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35, device=True)
     LOG(f"[bench] data ready in {time.time()-t0:.1f}s")
 
-    LOG("[bench] computing exact groundtruth (flat scan)")
-    t0 = time.time()
-    flat = FlatIndex(x, Metric.L2)
-    _, gt = flat.search(np.asarray(q), k=k)
-    gt = np.asarray(gt)
-    LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
-    # drop the device-resident dataset + flat index before the build: the
-    # 1M build's peak (donated state + word-append slices) needs the HBM
+    gt_cache = os.environ.get(
+        "BENCH_GT_CACHE", f"/tmp/diskann_bench_gt_{n}_{nq}_{d}_{k}.npy"
+    )
+    if os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+        LOG(f"[bench] groundtruth loaded from {gt_cache}")
+    else:
+        LOG("[bench] computing exact groundtruth (flat scan)")
+        t0 = time.time()
+        flat = FlatIndex(x, Metric.L2)
+        _, gt = flat.search(np.asarray(q), k=k)
+        gt = np.asarray(gt)
+        LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
+        np.save(gt_cache, gt)
+        del flat
+    # drop the device-resident dataset before the build: the 1M build's
+    # peak (donated state + word-append slices) needs the HBM
     x = np.asarray(x)
     q = np.asarray(q)
-    del flat
 
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
     LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
