@@ -41,7 +41,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "packed")
     r_deg = int(os.environ.get("BENCH_R", 64))
     w = int(os.environ.get("BENCH_W", 4))
-    sbs = int(os.environ.get("BENCH_SBS", 4096))
+    sbs = int(os.environ.get("BENCH_SBS", 8192))
     d = 128
     k = 10
     target_recall = 0.95
@@ -90,7 +90,7 @@ def main():
     qn = np.asarray(q)
     best = None
     sweep = []
-    for l in (40, 60, 80, 100, 140, 200):
+    for l in (40, 60, 80, 90, 100, 120, 140, 200):
         idx.search(qn, k, l_search=l, mode=mode)  # compile at full batch shape
         t0 = time.time()
         _, ids, stats = idx.search(qn, k, l_search=l, mode=mode)
