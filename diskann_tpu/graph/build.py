@@ -275,11 +275,9 @@ def insert_batch(
         1, mode="drop"
     )
     state = state._replace(adjacency=adjacency, degrees=degrees)
-    # The packed-row backedge splice is DEFERRED to the host (returned as
-    # `append_job`): the fast word-scatter form needs its own donated
-    # dispatches to stay in-place (see packed.append_edges_deferred), and
-    # appends to re-pruned targets are skipped — phase 3c rebuilds those
-    # rows wholesale from the final adjacency.
+    if packed is not None:
+        # int32 word scatters, in place on the donated table
+        packed = packed_mod.append_edges(packed, tkey_s, slot, src_s, append_ok)
 
     # ---------------- phase 3c: re-prune overfull targets ----------------
     # (`add_edge_and_prune`, index.rs:2264: when a row exceeds R*slack it is
@@ -325,15 +323,6 @@ def insert_batch(
     state = state._replace(adjacency=adjacency, degrees=degrees)
     if packed is not None:
         packed = packed_mod.refresh_rows(packed, state.adjacency, write_t)
-        # edges into groups ACTUALLY re-pruned above are covered by the
-        # refresh; groups beyond the u_cap re-prune budget still need their
-        # in-range appends applied
-        sel_rank = jnp.cumsum(sel_first.astype(jnp.int32)) - 1
-        refreshed_group = sel_first & (sel_rank < u_cap)
-        refreshed_edge = refreshed_group[group_start]
-        append_job = (tkey_s, slot, src_s, append_ok & ~refreshed_edge)
-    else:
-        append_job = None
 
     stats = InsertStats(cmps=res.cmps, hops=res.hops)
-    return state, packed, stats, append_job
+    return state, packed, stats

@@ -285,7 +285,7 @@ class GraphIndex:
                 schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
             with span("insert.batch", offset=off, rows=m):
-                self.state, self.packed, stats, append_job = insert_batch(
+                self.state, self.packed, stats = insert_batch(
                     self.state,
                     jnp.asarray(schunk),
                     jnp.asarray(chunk),
@@ -294,13 +294,6 @@ class GraphIndex:
                     self.config,
                     self.packed,
                 )
-                if append_job is not None:
-                    from diskann_tpu.graph import packed as packed_mod
-
-                    with span("insert.packed_append"):
-                        self.packed = packed_mod.append_edges_deferred(
-                            self.packed, *append_job
-                        )
             self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
             cmps += int(stats.cmps.sum())
             hops += int(stats.hops.sum())

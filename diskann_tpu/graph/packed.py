@@ -1,31 +1,39 @@
-"""Packed neighbor "fat-row" sector layout + incremental maintenance.
+"""Packed neighbor "fat-row" WORD layout + incremental maintenance.
 
 One logical fat row per node holds EVERYTHING a beam expansion needs —
 the node's neighbor ids, their ||code||^2 terms and their int8
-PCA-projected codes — stored as a run of 128-byte *sectors* in one flat
-``[(cap+1) * nsec, 128] int8`` table:
+PCA-projected codes — stored as a run of 128-word int32 rows in one flat
+``[(cap+1) * nwr, 128] int32`` table:
 
-    sectors [0, id_secs)          ids   (r_pack x i32, zero-padded tail)
-    sectors [id_secs, 2*id_secs)  aux   (r_pack x f32)
-    sectors [2*id_secs, ...)      codes (r_pack x dp i8), then pad sectors
-                                  so nsec is a multiple of 8
+    word-rows [0, idw)        ids   (r_pack x i32, -1-padded tail)
+    word-rows [idw, 2*idw)    aux   (r_pack x f32 bit patterns)
+    word-rows [2*idw, ...)    codes (r_pack x dp int8, 4 per word,
+                              little-endian), then pad rows so nwr is a
+                              multiple of 8
 
-Expanding a beam node is then ONE contiguous [nsec, 128] read (the TPU
-cost model is per-row issue, not per-byte: measured on v5e, three split
-gathers of ids/aux/codes cost 6.5 ms/hop where one fat-row gather costs
-4.6 at B=4096, W=4, R=84, dp=64).  The sector shape exists for the fused
-Pallas expand kernel (`ops/kernels/fatrow_expand.py`, measured 2.3
-ms/hop): Mosaic accepts [nsec, 128] HBM->VMEM DMAs at nsec-aligned row
-offsets (nsec % 8 == 0), where [1, nsec*128] slices of a 2-D
-[cap, nsec*128] table are rejected ("dim0 slices must be 8-aligned").
-This is the direct analogue of the disk tier's sector layout, which
-co-locates a node with its neighborhood so one SSD read serves a whole
-expansion (`diskann-disk/src/storage/disk_index_writer.rs`).
+Why INT32 words, not bytes: TPU scatter cost is formulation-bound —
+flat/2-D scalar and affine-iota int32 scatters run ~100ns/index where 2-D
+column-indexed byte scatters serialize at ~2.5us/index, and the
+i8<->i32 ``bitcast_convert_type`` that would bridge a byte table to word
+scatters costs ~70ms/GB (it crosses the (8,128)(4,1) sublane packing) and
+crashes the compiler outright at >=2GB.  With the table born as int32,
+the backedge append is three in-place (row, col) scatters (~200ms for
+512k edges vs 4s for byte scatters), ids decode with no bitcast at all,
+and aux is a free elementwise bitcast.
+
+Expanding a beam node is ONE contiguous [nwr, 128] DMA (per-row issue
+cost, not per-byte; nwr % 8 == 0 satisfies Mosaic's dim0 alignment for
+int32 (8,128) tiling).  The int8 codes are unpacked from words inside the
+Pallas expand kernel with four arithmetic shifts — VPU work the
+DMA-issue-bound kernel absorbs for free.  This is the direct analogue of
+the disk tier's sector layout, which co-locates a node with its
+neighborhood so one SSD read serves a whole expansion
+(`diskann-disk/src/storage/disk_index_writer.rs`).
 
 This module keeps the table consistent under graph mutations:
 - `encode` / `set_self_codes`: project + quantize new vectors;
 - `refresh_rows`: rebuild whole fat rows from adjacency (new nodes,
-  re-pruned nodes, delete-patched nodes);
+  re-pruned nodes, delete-patched nodes) via aligned-block DMA patching;
 - `append_edges`: splice a single neighbor's (id, aux, code) into
   (target, slot) cells — the backedge fast path, no full-row rebuild.
 """
@@ -44,26 +52,33 @@ from diskann_tpu.ops.distance import Metric
 
 
 def padded_degree(r_slack: int, dp: int) -> int:
-    """Smallest r >= r_slack with (r * dp) % 128 == 0 (code-section tiling)."""
-    step = 128 // math.gcd(dp, 128)
+    """Smallest r >= r_slack with (r * dp) % 512 == 0 (code words fill
+    whole 128-word rows)."""
+    dpw = dp // 4
+    step = 128 // math.gcd(dpw, 128)
     return -(-r_slack // step) * step
 
 
-def id_sectors(r_pack: int) -> int:
-    """Sectors holding the id section (= aux section) of a fat row."""
-    return -(-r_pack * 4 // 128)
+def id_wrows(r_pack: int) -> int:
+    """128-word rows holding the id section (= aux section) of a fat row."""
+    return -(-r_pack // 128)
 
 
-def n_sectors(r_pack: int, dp: int) -> int:
-    """Total 128-byte sectors per logical fat row: ids + aux + codes,
-    rounded up to a multiple of 8 (Mosaic DMA dim0 alignment)."""
-    secs = 2 * id_sectors(r_pack) + (-(-r_pack * dp // 128))
-    return -(-secs // 8) * 8
+def code_wrows(r_pack: int, dp: int) -> int:
+    """128-word rows holding the code section."""
+    return -(-(r_pack * (dp // 4)) // 128)
+
+
+def n_wrows(r_pack: int, dp: int) -> int:
+    """Total 128-word int32 rows per logical fat row, rounded up to a
+    multiple of 8 (Mosaic DMA dim0 alignment)."""
+    w = 2 * id_wrows(r_pack) + code_wrows(r_pack, dp)
+    return -(-w // 8) * 8
 
 
 def row_nbytes(r_pack: int, dp: int) -> int:
-    """Fat-row byte width (all sectors of one logical row)."""
-    return n_sectors(r_pack, dp) * 128
+    """Fat-row byte width (all word rows of one logical row)."""
+    return n_wrows(r_pack, dp) * 512
 
 
 @partial(
@@ -78,7 +93,7 @@ class PackedState:
     pbias2: jax.Array      # [dp] f32 adjusted bias (bias + 128*scale)
     self_codes: jax.Array  # [cap, dp] i8
     self_aux: jax.Array    # [cap] f32  (||code||^2 for L2; 0 for IP)
-    rows: jax.Array        # [(cap+1)*nsec, 128] i8 sector table (module doc)
+    rows: jax.Array        # [(cap+1)*nwr, 128] i32 word table (module doc)
     r_pack: int            # static: neighbor slots per row
 
     def _replace(self, **kw) -> "PackedState":
@@ -89,26 +104,22 @@ class PackedState:
         return self.proj.shape[1]
 
     @property
-    def id_secs(self) -> int:
-        return id_sectors(self.r_pack)
+    def idw(self) -> int:
+        return id_wrows(self.r_pack)
 
     @property
-    def nsec(self) -> int:
-        return n_sectors(self.r_pack, self.dp)
+    def nwr(self) -> int:
+        return n_wrows(self.r_pack, self.dp)
 
     @property
-    def ids_off(self) -> int:
-        return 0
+    def aux_off_w(self) -> int:
+        """Word offset of the aux section within a flattened logical row."""
+        return self.idw * 128
 
     @property
-    def aux_off(self) -> int:
-        """Byte offset of the aux section within a flattened logical row."""
-        return self.id_secs * 128
-
-    @property
-    def code_off(self) -> int:
-        """Byte offset of the code section within a flattened logical row."""
-        return 2 * self.id_secs * 128
+    def code_off_w(self) -> int:
+        """Word offset of the code section within a flattened logical row."""
+        return 2 * self.idw * 128
 
 
 def train_packed(
@@ -118,8 +129,8 @@ def train_packed(
     vecs = np.asarray(vectors, np.float32)
     d = vecs.shape[1]
     dp = min(dp, d)
-    # dp must divide 128 so a code never straddles a 128-byte sector
-    while 128 % dp:
+    # dp/4 must divide 128 so a code never straddles a 128-word row
+    while dp % 4 or 128 % (dp // 4):
         dp -= 1
     mu = vecs.mean(axis=0)
     cov = np.cov((vecs - mu).T).astype(np.float32)
@@ -135,26 +146,25 @@ def train_packed(
     return jnp.asarray(proj), jnp.asarray(scale), jnp.asarray(bias2)
 
 
+_INF_BITS = np.float32(np.inf).view(np.int32)
+
+
 def _empty_rows(n: int, r_pack: int, dp: int) -> jax.Array:
-    """Sector rows for n empty fat rows: all neighbor ids -1, all aux slots
-    +inf (the empty-slot conventions), codes zero.  Shape [n*nsec, 128]."""
-    id_s = id_sectors(r_pack)
-    nsec = n_sectors(r_pack, dp)
-    tmpl = np.zeros((nsec * 128,), np.int8)
-    tmpl[: id_s * 128] = -1
-    inf_bytes = np.frombuffer(
-        np.full((id_s * 32,), np.inf, np.float32).tobytes(), np.int8
-    )
-    tmpl[id_s * 128 : 2 * id_s * 128] = inf_bytes
-    return jnp.tile(jnp.asarray(tmpl.reshape(nsec, 128)), (n, 1))
+    """Word rows for n empty fat rows: all neighbor ids -1, all aux slots
+    +inf (the empty-slot conventions), codes zero.  Shape [n*nwr, 128]."""
+    idw = id_wrows(r_pack)
+    nwr = n_wrows(r_pack, dp)
+    tmpl = np.zeros((nwr * 128,), np.int32)
+    tmpl[: idw * 128] = -1
+    tmpl[idw * 128 : 2 * idw * 128] = _INF_BITS
+    return jnp.tile(jnp.asarray(tmpl.reshape(nwr, 128)), (n, 1))
 
 
 def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
     dp = proj.shape[1]
     rp = padded_degree(r_slack, dp)
     # +1 sacrificial DUMP row at index `capacity`: dropped writes (sentinel
-    # id = cap) land there instead of needing per-write masking, which lets
-    # the Pallas append kernel issue unconditional DMAs.
+    # id = cap) land there instead of needing per-write masking
     return PackedState(
         proj=proj,
         pscale=pscale,
@@ -178,7 +188,7 @@ def grow_packed(packed: PackedState, new_capacity: int) -> PackedState:
         self_aux=jnp.pad(packed.self_aux, (0, extra)),
         rows=jnp.concatenate(
             [
-                packed.rows[: cap * packed.nsec],
+                packed.rows[: cap * packed.nwr],
                 _empty_rows(extra + 1, packed.r_pack, packed.dp),
             ],
             axis=0,
@@ -208,28 +218,25 @@ def set_self_codes(packed: PackedState, slot_ids, codes, aux) -> PackedState:
     )
 
 
-def _i32_to_bytes(x: jax.Array) -> jax.Array:
-    """[..., K] i32 -> [..., K*4] i8 (little-endian device bitcast)."""
-    b = jax.lax.bitcast_convert_type(x, jnp.int8)        # [..., K, 4]
-    return b.reshape(*x.shape[:-1], x.shape[-1] * 4)
-
-
-def _f32_to_bytes(x: jax.Array) -> jax.Array:
-    b = jax.lax.bitcast_convert_type(x, jnp.int8)
-    return b.reshape(*x.shape[:-1], x.shape[-1] * 4)
-
-
-def bytes_to_i32(x: jax.Array, k: int) -> jax.Array:
-    """[..., K*4] i8 -> [..., K] i32."""
+def codes_to_words(codes: jax.Array) -> jax.Array:
+    """[..., dp] i8 -> [..., dp/4] i32 (little-endian device bitcast)."""
     return jax.lax.bitcast_convert_type(
-        x.reshape(*x.shape[:-1], k, 4), jnp.int32
+        codes.reshape(*codes.shape[:-1], codes.shape[-1] // 4, 4), jnp.int32
     )
 
 
-def bytes_to_f32(x: jax.Array, k: int) -> jax.Array:
-    return jax.lax.bitcast_convert_type(
-        x.reshape(*x.shape[:-1], k, 4), jnp.float32
-    )
+def f32_to_words(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def words_to_f32(x: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def words_to_codes(words: jax.Array, dp: int) -> jax.Array:
+    """[..., dp/4] i32 -> [..., dp] i8."""
+    b = jax.lax.bitcast_convert_type(words, jnp.int8)   # [..., dp/4, 4]
+    return b.reshape(*words.shape[:-1], dp)
 
 
 def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState:
@@ -237,8 +244,8 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     cap, r_slack = adjacency.shape
     dp = packed.dp
     rp = packed.r_pack
-    id_s = packed.id_secs
-    nsec = packed.nsec
+    idw = packed.idw
+    nwr = packed.nwr
     rows = jnp.asarray(rows, jnp.int32)
     t = rows.shape[0]
     safe_rows = jnp.clip(rows, 0, cap - 1)
@@ -248,18 +255,20 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
             arows, ((0, 0), (0, rp - r_slack)), constant_values=-1
         )
     safe = jnp.clip(arows, 0, cap - 1)
-    codes = packed.self_codes[safe].reshape(t, rp * dp)
+    codes = packed.self_codes[safe]                    # [T, rp, dp] i8
+    code_w = codes_to_words(codes).reshape(t, rp * (dp // 4))
     aux = jnp.where(arows >= 0, packed.self_aux[safe], jnp.inf)
-    sec_pad = id_s * 128 - rp * 4
+    sec_pad = idw * 128 - rp
     fat = jnp.concatenate(
         [
-            jnp.pad(_i32_to_bytes(arows), ((0, 0), (0, sec_pad))),
-            jnp.pad(_f32_to_bytes(aux), ((0, 0), (0, sec_pad))),
-            codes,
+            jnp.pad(arows, ((0, 0), (0, sec_pad)), constant_values=-1),
+            jnp.pad(f32_to_words(aux), ((0, 0), (0, sec_pad)),
+                    constant_values=_INF_BITS),
+            code_w,
         ],
         axis=-1,
     )
-    tail = nsec * 128 - fat.shape[1]
+    tail = nwr * 128 - fat.shape[1]
     if tail:
         fat = jnp.pad(fat, ((0, 0), (0, tail)))
     w = jnp.where((rows >= 0) & (rows < cap), rows, cap)
@@ -269,38 +278,36 @@ def refresh_rows(packed: PackedState, adjacency: jax.Array, rows) -> PackedState
     if jax.default_backend() == "tpu" and os.environ.get(
         "DISKANN_NO_BLOCK_PATCH"
     ) != "1":
-        # aligned-block DMA patching: XLA's scatter serializes per index
-        # (~2-14 us each; T*nsec sector rows per refresh), the kernel copies
-        # [8, 128] blocks at DMA issue rate (~0.14 us)
+        # aligned-block DMA patching: XLA's windowed scatter serializes per
+        # index; the kernel copies [8, 128] blocks at DMA issue rate
         from diskann_tpu.ops.kernels.block_patch import (
             PATCH_BLOCK, block_patch,
         )
 
-        nblk = nsec // 8
+        nblk = nwr // 8
         gidx = (
             w[:, None] * nblk + jnp.arange(nblk, dtype=jnp.int32)[None, :]
         ).reshape(-1)
-        vals = fat.reshape(t * nsec, 128)
+        vals = fat.reshape(t * nwr, 128)
         pad = (-gidx.shape[0]) % PATCH_BLOCK
         if pad:
             gidx = jnp.pad(gidx, (0, pad), constant_values=cap * nblk)
             vals = jnp.pad(vals, ((0, pad * 8), (0, 0)))
         return packed._replace(rows=block_patch(packed.rows, gidx, vals))
 
-    idx = (w[:, None] * nsec + jnp.arange(nsec, dtype=jnp.int32)[None, :]).reshape(-1)
+    idx = (w[:, None] * nwr + jnp.arange(nwr, dtype=jnp.int32)[None, :]).reshape(-1)
     return packed._replace(
         rows=packed.rows.at[idx].set(
-            fat.reshape(t * nsec, 128), mode="drop"
+            fat.reshape(t * nwr, 128), mode="drop"
         )
     )
 
 
 def logical_rows(packed: PackedState) -> jax.Array:
-    """The sector table viewed as [cap+1, nsec*128] flattened logical rows
-    (decode with the `*_off` byte offsets).  Test/debug helper — the
-    reshape relayouts, don't use it in hot paths."""
-    cap1 = packed.rows.shape[0] // packed.nsec
-    return packed.rows.reshape(cap1, packed.nsec * 128)
+    """The word table viewed as [cap+1, nwr*128] flattened logical rows
+    (decode with the `*_off_w` word offsets).  Test/debug helper."""
+    cap1 = packed.rows.shape[0] // packed.nwr
+    return packed.rows.reshape(cap1, packed.nwr * 128)
 
 
 # Donating wrappers for host-driven maintenance loops: without donation each
@@ -310,226 +317,56 @@ refresh_rows_donated = jax.jit(refresh_rows, donate_argnums=(0,))
 set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 
 
-# The per-slice append runs as THREE tiny dispatches (read slice / patch
-# slice / write back) so every step aliases trivially: a single fused
-# program cannot prove the slice-read / in-place-write aliasing and plans
-# table-sized copies (observed 17-29GB transients for a 6.1GB table).
-
-
-@partial(jax.jit, static_argnames=("lo", "hi"))
-def _read_slice(rows, *, lo, hi):
-    return jax.lax.slice(rows, (lo, 0), (hi, 128))
-
-
-@partial(
-    jax.jit,
-    static_argnames=("lo", "id_s", "nsec", "dp"),
-    donate_argnums=(0,),
-)
-def _patch_slice(sl, base, slot_s, id_w, aux_w, code_w,
-                 *, lo, id_s, nsec, dp):
-    srows = sl.shape[0]
-    nsw = srows * 32
-    words = jax.lax.bitcast_convert_type(
-        sl.reshape(srows, 32, 4), jnp.int32
-    ).reshape(nsw)
-    off = lo * 32
-
-    def rel(i):
-        # negative indices WRAP in jnp indexing; route out-of-slice writes
-        # to an always-OOB positive index so mode="drop" drops them
-        r = i - off
-        return jnp.where((r >= 0) & (r < nsw), r, nsw)
-
-    words = words.at[rel(base + slot_s)].set(id_w, mode="drop")
-    words = words.at[rel(base + id_s * 32 + slot_s)].set(aux_w, mode="drop")
-    kw = jnp.arange(dp // 4, dtype=jnp.int32)[None, :]
-    cw_idx = (base + 2 * id_s * 32 + slot_s * (dp // 4))[:, None] + kw
-    words = words.at[rel(cw_idx).reshape(-1)].set(
-        code_w.reshape(-1), mode="drop"
-    )
-    return jax.lax.bitcast_convert_type(
-        words.reshape(srows, 32), jnp.int8
-    ).reshape(srows, 128)
-
-
-@partial(jax.jit, static_argnames=("lo",), donate_argnums=(0,))
-def _write_slice(rows, patched, *, lo):
-    return jax.lax.dynamic_update_slice(rows, patched, (lo, 0))
-
-
-def _append_slice(rows, base, slot_s, id_w, aux_w, code_w,
-                  *, lo, hi, id_s, nsec, dp):
-    sl = _read_slice(rows, lo=lo, hi=hi)
-    patched = _patch_slice(
-        sl, base, slot_s, id_w, aux_w, code_w,
-        lo=lo, id_s=id_s, nsec=nsec, dp=dp,
-    )
-    return _write_slice(rows, patched, lo=lo)
-
-
-@partial(jax.jit, static_argnames=("nsec",))
-def _append_prep(self_codes, self_aux, tgt, slot, src, ok, nsec: int):
-    cap = self_codes.shape[0]
-    dp = self_codes.shape[1]
-    e = tgt.shape[0]
-    codes = self_codes[jnp.clip(src, 0, cap - 1)]
-    aux = self_aux[jnp.clip(src, 0, cap - 1)]
-    slot_s = jnp.where(ok, slot, 0).astype(jnp.int32)
-    tgt_s = jnp.where(ok, tgt, cap).astype(jnp.int32)
-    base = tgt_s * (nsec * 32)
-    id_w = jnp.asarray(src, jnp.int32)
-    aux_w = jax.lax.bitcast_convert_type(aux, jnp.int32)
-    code_w = jax.lax.bitcast_convert_type(
-        codes.reshape(e, dp // 4, 4), jnp.int32
-    )
-    return base, slot_s, id_w, aux_w, code_w
-
-
-def append_edges_deferred(
-    packed: PackedState, tgt, slot, src, ok, *,
-    slice_bytes: int = 1 << 29,  # 512MB: bounds the in-flight transient
-                                 # (2GB+ bitcasts also crash the compiler)
-) -> PackedState:
-    """Host-driven backedge append: word scatters over <=slice_bytes table
-    slices, donated jit dispatches per slice (see `_patch_slice`).  The TPU
-    production append path; CPU falls back to `append_edges`.
-
-    When `tgt` is sorted ascending (the build's backedge job is), each
-    slice only scatters its own contiguous edge segment (host searchsorted
-    + power-of-two bucketed dynamic_slice; edges sliced beyond the segment
-    point at other slices' rows and are dropped by the bounds mask)."""
-    if jax.default_backend() != "tpu" or packed.dp % 4 != 0:
-        return append_edges(packed, tgt, slot, src, ok)
-    nsec = packed.nsec
-    tgt = jnp.asarray(tgt, jnp.int32)
-    base, slot_s, id_w, aux_w, code_w = _append_prep(
-        packed.self_codes, packed.self_aux,
-        tgt, jnp.asarray(slot, jnp.int32),
-        jnp.asarray(src, jnp.int32), jnp.asarray(ok), nsec,
-    )
-    rows = packed.rows
-    r_sec = rows.shape[0]
-    e = tgt.shape[0]
-    n_slices = max(1, -(-(r_sec * 128) // slice_bytes))
-    # slice boundaries at whole logical rows so a target's sectors never
-    # straddle slices
-    srows = -(-(-(-r_sec // n_slices)) // nsec) * nsec
-
-    # raw sorted targets partition the edges; edges with ok=False write only
-    # the sacrificial dump row, so skipping them when their raw target lands
-    # in another slice's segment is harmless
-    tgt_np = np.asarray(tgt)
-    sorted_ok = bool((np.diff(tgt_np) >= 0).all())
-    # barrier: don't stack the slice transients on top of the (possibly
-    # still-executing) producer's peak
-    np.asarray(rows[:1, :1])
-
-    for s in range(0, r_sec, srows):
-        lo, hi = s, min(s + srows, r_sec)
-        if sorted_ok and e > 16384:
-            t_lo, t_hi = lo // nsec, -(-hi // nsec)
-            e_lo = int(np.searchsorted(tgt_np, t_lo, side="left"))
-            e_hi = int(np.searchsorted(tgt_np, t_hi, side="left"))
-            if e_hi == e_lo:
-                continue
-            blen = max(8192, 1 << (e_hi - e_lo - 1).bit_length())
-            blen = min(blen, e)
-            st = min(e_lo, e - blen)
-            args = tuple(
-                jax.lax.dynamic_slice(a, (st,) + (0,) * (a.ndim - 1),
-                                      (blen,) + a.shape[1:])
-                for a in (base, slot_s, id_w, aux_w, code_w)
-            )
-        else:
-            args = (base, slot_s, id_w, aux_w, code_w)
-        rows = _append_slice(
-            rows, *args,
-            lo=lo, hi=hi, id_s=packed.id_secs, nsec=nsec, dp=packed.dp,
-        )
-        # serialize slices: dispatch is async and output buffers are
-        # allocated at enqueue time, so unsynced slices would hold ALL
-        # their ~2.5GB transients concurrently (observed OOM).  A tiny
-        # device->host fetch is the only real barrier on the axon backend.
-        np.asarray(rows[:1, :1])
-    return packed._replace(rows=rows)
-
-
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     """Splice src's (id, aux, code) into (tgt, slot) — the backedge fast path.
 
-    2-D byte scatters into the [cap1*nsec, 128] sector table; each write
-    lands inside one sector (dp divides 128; ids/aux are 4-byte aligned),
-    so row/col indices stay affine per chunk."""
+    Three (row, col) scalar/affine word scatters into the int32 table:
+    the id of slot s is word (t*nwr + s//128, s%128); its aux word sits
+    idw rows later; its dp/4 code words start at word-row 2*idw +
+    (s*dpw)//128, col (s*dpw)%128 (dpw divides 128, so no straddling).
+    Measured ~200ms per 512k edges on v5e, fully in place under donation
+    (vs 4s for byte-column scatters on an int8 table)."""
     cap = packed.self_codes.shape[0]
     dp = packed.dp
-    id_s = packed.id_secs
-    nsec = packed.nsec
-    e = tgt.shape[0]
+    dpw = dp // 4
+    idw = packed.idw
+    nwr = packed.nwr
     codes = packed.self_codes[jnp.clip(src, 0, cap - 1)]      # [E, dp]
     aux = packed.self_aux[jnp.clip(src, 0, cap - 1)]          # [E]
-    id_bytes = _i32_to_bytes(jnp.asarray(src, jnp.int32)[:, None])   # [E, 4]
-    aux_bytes = _f32_to_bytes(aux[:, None])                          # [E, 4]
 
-    slot_s = jnp.where(ok, slot, 0)
-    tgt_s = jnp.where(ok, tgt, cap)   # cap = the sacrificial dump row
+    slot_s = jnp.where(ok, slot, 0).astype(jnp.int32)
+    tgt_s = jnp.where(ok, tgt, cap).astype(jnp.int32)  # cap = dump row
 
-    import os
+    rows_t = packed.rows
+    base = tgt_s * nwr
+    id_w = jnp.asarray(src, jnp.int32)
+    aux_w = f32_to_words(aux)
+    code_w = codes_to_words(codes)                            # [E, dpw]
 
-    # TPU fast path: flat int32 WORD scatters (sliced, one donated dispatch
-    # per slice).  XLA's 2-D column-indexed i8 scatters serialize
-    # (~2.5us/index; 4s/batch at E=512k on v5e) while flat scalar/affine
-    # word scatters run ~100ns/index (measured 60-87ms at E=512k).
-    if (
-        jax.default_backend() == "tpu"
-        and dp % 4 == 0
-        and os.environ.get("DISKANN_NO_WORD_APPEND") != "1"
-        and not isinstance(packed.rows, jax.core.Tracer)  # not under a jit
-    ):
-        return append_edges_deferred(packed, tgt, slot, src, ok)
-
-    # Chunked affine-iota scatters.  Measured on v5e at E=512k, cap=1M:
-    # a lax.scatter with [E, 2] window indices runs at 7.3s/batch and an
-    # unchunked per-byte affine scatter OOMs at compile (the [E, dp, 2] s32
-    # index tensor tile-pads 64x); 64k-edge chunks keep the index temp at
-    # ~2GB and run ~2x faster than the window form.  Still ~4s/batch — the
-    # TPU scatter lowering is inherently serial; this is the XLA fallback
-    # path, superseded where possible by the Pallas append kernel.
-    e = tgt_s.shape[0]
-    ch = min(65536, e)
-    b4 = jnp.arange(4, dtype=jnp.int32)[None, :]
-    bd = jnp.arange(dp, dtype=jnp.int32)[None, :]
-    n_chunks = -(-e // ch)
-    pad_to = n_chunks * ch
-    if pad_to != e:
-        padc = pad_to - e
-        tgt_s = jnp.pad(tgt_s, (0, padc), constant_values=cap)
-        slot_s = jnp.pad(slot_s, (0, padc))
-        id_bytes = jnp.pad(id_bytes, ((0, padc), (0, 0)))
-        aux_bytes = jnp.pad(aux_bytes, ((0, padc), (0, 0)))
-        codes = jnp.pad(codes, ((0, padc), (0, 0)))
-
-    cpl = 128 // dp                        # codes per sector
-    spl = 32                               # id/aux cells per sector (4B each)
-
-    def body(i, acc):
-        t = jax.lax.dynamic_slice(tgt_s, (i * ch,), (ch,))
-        s = jax.lax.dynamic_slice(slot_s, (i * ch,), (ch,))
-        ib = jax.lax.dynamic_slice(id_bytes, (i * ch, 0), (ch, 4))
-        ab = jax.lax.dynamic_slice(aux_bytes, (i * ch, 0), (ch, 4))
-        cd = jax.lax.dynamic_slice(codes, (i * ch, 0), (ch, dp))
-        base = t * nsec
-
-        def sc(a, srow, cols, vals):
-            r2 = jnp.broadcast_to(srow[:, None], cols.shape)
-            return a.at[r2, cols].set(vals, mode="drop")
-
-        acc = sc(acc, base + s // spl, (s % spl)[:, None] * 4 + b4, ib)
-        acc = sc(acc, base + id_s + s // spl, (s % spl)[:, None] * 4 + b4, ab)
-        acc = sc(
-            acc, base + 2 * id_s + s // cpl, (s % cpl)[:, None] * dp + bd, cd
-        )
-        return acc
-
-    rows_t = jax.lax.fori_loop(0, n_chunks, body, packed.rows)
+    rows_t = rows_t.at[base + slot_s // 128, slot_s % 128].set(
+        id_w, mode="drop"
+    )
+    rows_t = rows_t.at[base + idw + slot_s // 128, slot_s % 128].set(
+        aux_w, mode="drop"
+    )
+    kw = jnp.arange(dpw, dtype=jnp.int32)[None, :]
+    crow = base + 2 * idw + (slot_s * dpw) // 128
+    ccol = (slot_s * dpw) % 128
+    rows_t = rows_t.at[
+        jnp.broadcast_to(crow[:, None], code_w.shape),
+        ccol[:, None] + kw,
+    ].set(code_w, mode="drop")
     return packed._replace(rows=rows_t)
+
+
+# The deferred alias remains for host callers; with the int32 word table
+# the scatters are in-place and jit-safe, so it is just append_edges.
+def append_edges_deferred(packed: PackedState, tgt, slot, src, ok,
+                          **_legacy) -> PackedState:
+    return _append_edges_donated(
+        packed, jnp.asarray(tgt, jnp.int32), jnp.asarray(slot, jnp.int32),
+        jnp.asarray(src, jnp.int32), jnp.asarray(ok),
+    )
+
+
+_append_edges_donated = jax.jit(append_edges, donate_argnums=(0,))

@@ -297,14 +297,12 @@ def packed_scorer(packed, metric: Metric):
     """Fat-row packed scorer over a `PackedState`.  `self_codes [N, dp]`
     (+ aux) score arbitrary ids (start points); `rows [N, row_bytes]` serve
     beam expansion with one gather per node."""
-    from diskann_tpu.graph.packed import bytes_to_f32, bytes_to_i32
-
     rp, dp = packed.r_pack, packed.dp
     key = (metric, rp, dp)
     if key not in _PACKED_DEFS:
         prep = _packed_prep(metric)
-        id_s, nsec = packed.id_secs, packed.nsec
-        aux_off, code_off = packed.aux_off, packed.code_off
+        nwr = packed.nwr
+        aux_off_w, code_off_w = packed.aux_off_w, packed.code_off_w
 
         def score(data, q_ctx, ids, valid):
             # per-id scoring for start points: plain int8 row gather
@@ -338,19 +336,20 @@ def packed_scorer(packed, metric: Metric):
         def expand(data, q_ctx, beam_ids, beam_valid):
             import os
 
+            from diskann_tpu.graph.packed import words_to_codes, words_to_f32
+
             rows, proj, pscale, pbias2, self_codes, self_aux = data
             qi, qscale, qsq = q_ctx
-            n = rows.shape[0] // nsec
+            n = rows.shape[0] // nwr
             b, w = beam_ids.shape
             use_kernel = (
                 jax.default_backend() == "tpu"
-                and 128 % dp == 0
                 and os.environ.get("DISKANN_NO_FATKERNEL") != "1"
             )
             if use_kernel:
-                # fused Pallas expand: pipelined sector DMAs + in-VMEM int8
-                # scoring; the gathered bytes never round-trip through HBM
-                # (measured 2.3 ms/hop vs 4.6 for the XLA gather+dot at
+                # fused Pallas expand: pipelined word-row DMAs + in-VMEM
+                # int8 scoring; the gathered words never round-trip through
+                # HBM (measured 2.3 ms/hop vs 4.6 for the XLA gather+dot at
                 # B=4096 W=4 R=84 dp=64 on v5e)
                 from diskann_tpu.ops.kernels.fatrow_expand import fatrow_expand
 
@@ -361,33 +360,31 @@ def packed_scorer(packed, metric: Metric):
                 if bwp != bw:
                     beam_flat = jnp.pad(beam_flat, (0, bwp - bw))
                     qiw = jnp.pad(qiw, ((0, bwp - bw), (0, 0)))
-                hdr, dots_i = fatrow_expand(
+                ids_w, aux_w, dots_i = fatrow_expand(
                     rows, beam_flat, qiw, rp=rp, dp=dp
                 )
-                hdr, dots_i = hdr[:bw], dots_i[:bw, :rp]
-                cand = bytes_to_i32(hdr[:, : rp * 4], rp).reshape(b, w * rp)
-                aux = bytes_to_f32(
-                    hdr[:, aux_off : aux_off + rp * 4], rp
-                ).reshape(b, w * rp)
+                cand = ids_w[:bw, :rp].reshape(b, w * rp)
+                aux = words_to_f32(aux_w[:bw, :rp]).reshape(b, w * rp)
                 dots = (
-                    dots_i.reshape(b, w * rp).astype(jnp.float32)
+                    dots_i[:bw, :rp].reshape(b, w * rp).astype(jnp.float32)
                     * qscale[:, None]
                 )
                 return _finish(
                     cand, aux, dots, qsq, beam_valid, b, w
                 )
             safe = jnp.clip(beam_ids, 0, n - 1)
-            idx = safe[:, :, None] * nsec + jnp.arange(
-                nsec, dtype=jnp.int32
+            idx = safe[:, :, None] * nwr + jnp.arange(
+                nwr, dtype=jnp.int32
             )[None, None, :]
-            fat = rows[idx].reshape(b, w, nsec * 128)      # [B, W, ROW]
-            cand = bytes_to_i32(fat[:, :, : rp * 4], rp).reshape(b, w * rp)
-            aux = bytes_to_f32(
-                fat[:, :, aux_off : aux_off + rp * 4], rp
+            fat = rows[idx].reshape(b, w, nwr * 128)       # [B, W, words]
+            cand = fat[:, :, :rp].reshape(b, w * rp)
+            aux = words_to_f32(
+                fat[:, :, aux_off_w : aux_off_w + rp]
             ).reshape(b, w * rp)
-            codes = fat[:, :, code_off : code_off + rp * dp].reshape(
-                b, w * rp, dp
-            )
+            codes = words_to_codes(
+                fat[:, :, code_off_w : code_off_w + rp * (dp // 4)],
+                rp * dp,
+            ).reshape(b, w * rp, dp)
             dots_i = jax.lax.dot_general(
                 qi, codes, (((1,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,

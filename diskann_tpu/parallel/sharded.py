@@ -98,7 +98,7 @@ def _sharded_insert(mesh, stacked, ns, starts, batch, row_valid, config):
         st = jax.tree.map(lambda a: a[0], st)
         n, start = n[0], start[0]
         slots = n + jnp.arange(vecs.shape[1], dtype=jnp.int32)
-        st, _packed, stats, _job = insert_batch(
+        st, _packed, stats = insert_batch(
             st, slots, vecs[0], valid[0], start, config,
         )
         new_n = n + valid[0].astype(jnp.int32).sum()
@@ -156,12 +156,12 @@ def _packed_structure(proj, pscale, pbias2, stacked, config, dp):
 
     cap = stacked.vectors.shape[1]
     rp = pk.padded_degree(config.max_degree_with_slack, dp)
-    nsec = pk.n_sectors(rp, dp)
+    nwr = pk.n_wrows(rp, dp)
     return pk.PackedState(
         proj=proj, pscale=pscale, pbias2=pbias2,
         self_codes=jnp.zeros((1, cap, dp), jnp.int8),
         self_aux=jnp.zeros((1, cap), jnp.float32),
-        rows=jnp.zeros((1, (cap + 1) * nsec, 128), jnp.int8),
+        rows=jnp.zeros((1, (cap + 1) * nwr, 128), jnp.int32),
         r_pack=rp,
     )
 

@@ -89,16 +89,15 @@ def main():
     )
     ok = jnp.ones((E,), bool)
 
-    ap = jax.jit(pk.append_edges, donate_argnums=(0,))
     t0 = time.time()
-    p2 = ap(p, tgt, slot, src, ok)
+    p2 = pk.append_edges_deferred(p, tgt, slot, src, ok)
     sync(p2.rows)
     first = time.time() - t0
     t0 = time.time()
     for i in range(ITERS):
-        p2 = ap(p2, tgt, slot, src, ok)
+        p2 = pk.append_edges_deferred(p2, tgt, slot, src, ok)
     sync(p2.rows)
-    LOG(f"[pb] append_edges E={E}:  "
+    LOG(f"[pb] append_deferred E={E}:  "
         f"{(time.time()-t0)/ITERS*1e3:8.1f} ms (first {first:.0f}s)")
     p = p2
 

@@ -75,15 +75,15 @@ def main():
         rng.standard_normal((4096, D)).astype(np.float32), DP, Metric.L2
     )
     key = jax.random.key(0)
-    nsec = pk.n_sectors(pk.padded_degree(RS, DP), DP)
-    total = (N + 1) * nsec
+    nwr = pk.n_wrows(pk.padded_degree(RS, DP), DP)
+    total = (N + 1) * nwr
     n_chunks = 16
     chunk_rows = -(-total // n_chunks)
     # random bytes everywhere (ids decode to arbitrary ints; search clamps) —
     # for timing that is fine and adversarially cache-unfriendly.  Fill a
     # donated buffer chunkwise: one-shot randint needs a 4x u32 temp and a
     # concat doubles the 6.15GB table.
-    rows = jnp.zeros((chunk_rows * n_chunks, 128), jnp.int8)
+    rows = jnp.zeros((chunk_rows * n_chunks, 128), jnp.int32)
     upd = jax.jit(
         lambda r, c, i: jax.lax.dynamic_update_slice(
             r, c, (i * chunk_rows, jnp.int32(0))
@@ -91,7 +91,7 @@ def main():
         donate_argnums=(0,),
     )
     gen = jax.jit(lambda k: jax.random.randint(
-        k, (chunk_rows, 128), -127, 128, dtype=jnp.int8))
+        k, (chunk_rows, 128), -(2**31), 2**31 - 1, dtype=jnp.int32))
     for i in range(n_chunks):
         rows = upd(rows, gen(jax.random.fold_in(key, i)), jnp.int32(i))
     rows = rows[:total]

@@ -79,8 +79,8 @@ def test_packed_layout_consistent_after_delete(rng):
     from diskann_tpu.graph.packed import logical_rows
 
     rows_np = np.asarray(logical_rows(p))[: adj.shape[0]]  # drop the dump row
-    ids = rows_np[:, : p.aux_off].view(np.int32)[:, : adj.shape[1]]
-    aux = rows_np[:, p.aux_off : p.code_off].view(np.float32)[:, : adj.shape[1]]
+    ids = rows_np[:, : adj.shape[1]]
+    aux = rows_np[:, p.aux_off_w : p.aux_off_w + adj.shape[1]].view(np.float32)
     np.testing.assert_array_equal(ids, adj)
     live_slots = adj >= 0
     assert (np.isfinite(aux) == live_slots).all()

@@ -10,7 +10,8 @@ class of bug these tests exist to catch.
 import jax.numpy as jnp
 import numpy as np
 
-from diskann_tpu.graph.packed import id_sectors, n_sectors
+from diskann_tpu.graph import packed as pk
+from diskann_tpu.ops.distance import Metric
 from diskann_tpu.ops.kernels.block_patch import (
     PATCH_BLOCK, block_patch, block_patch_ref,
 )
@@ -18,77 +19,47 @@ from diskann_tpu.ops.kernels.fatrow_expand import (
     fatrow_expand, fatrow_expand_ref,
 )
 
-RP, DP = 16, 64  # id_secs=1, code sectors=8, nsec=16 (rounded to 8-multiple)
+RP, DP = 16, 64  # idw=1, code word-rows=2, nwr=8
 
 
-def _rand_sector_rows(rng, n, rp, dp):
-    nsec = n_sectors(rp, dp)
+def _rand_word_rows(rng, n, rp, dp):
+    nwr = pk.n_wrows(rp, dp)
     return jnp.asarray(
-        rng.integers(-127, 128, size=(n * nsec, 128)).astype(np.int8)
+        rng.integers(-(2**31), 2**31, size=(n * nwr, 128), dtype=np.int64)
+        .astype(np.int32)
     )
+
+
+def _expand_case(rng, n, bw, rp, dp):
+    rows = _rand_word_rows(rng, n, rp, dp)
+    beam = jnp.asarray(rng.integers(0, n, size=(bw,)).astype(np.int32))
+    qiw = jnp.asarray(rng.integers(-127, 128, size=(bw, dp)).astype(np.int8))
+    got = fatrow_expand(rows, beam, qiw, rp=rp, dp=dp, interpret=True)
+    want = fatrow_expand_ref(rows, beam, qiw, rp=rp, dp=dp)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
 def test_fatrow_expand_parity_interpret():
-    rng = np.random.default_rng(7)
-    n, bw = 1024, 512
-    rows = _rand_sector_rows(rng, n, RP, DP)
-    beam = jnp.asarray(rng.integers(0, n, size=(bw,)).astype(np.int32))
-    qiw = jnp.asarray(rng.integers(-127, 128, size=(bw, DP)).astype(np.int8))
-
-    hdr_k, dots_k = fatrow_expand(
-        rows, beam, qiw, rp=RP, dp=DP, interpret=True
-    )
-    hdr_r, dots_r = fatrow_expand_ref(rows, beam, qiw, rp=RP, dp=DP)
-    np.testing.assert_array_equal(np.asarray(hdr_k), np.asarray(hdr_r))
-    np.testing.assert_array_equal(np.asarray(dots_k), np.asarray(dots_r))
+    _expand_case(np.random.default_rng(7), 1024, 512, RP, DP)
 
 
 def test_fatrow_expand_parity_multiblock():
-    # two grid programs; beam ids deliberately repeat across blocks
-    rng = np.random.default_rng(11)
-    n, bw = 512, 1024
-    rows = _rand_sector_rows(rng, n, RP, DP)
-    beam = jnp.asarray(
-        np.concatenate([
-            rng.integers(0, n, size=(bw // 2,)),
-            rng.integers(0, n, size=(bw // 2,)),
-        ]).astype(np.int32)
-    )
-    qiw = jnp.asarray(rng.integers(-127, 128, size=(bw, DP)).astype(np.int8))
-    hdr_k, dots_k = fatrow_expand(
-        rows, beam, qiw, rp=RP, dp=DP, interpret=True
-    )
-    hdr_r, dots_r = fatrow_expand_ref(rows, beam, qiw, rp=RP, dp=DP)
-    np.testing.assert_array_equal(np.asarray(hdr_k), np.asarray(hdr_r))
-    np.testing.assert_array_equal(np.asarray(dots_k), np.asarray(dots_r))
+    # two grid programs; repeated beam ids across blocks
+    _expand_case(np.random.default_rng(11), 512, 1024, RP, DP)
 
 
 def test_fatrow_expand_small_dp():
-    # dp=32 -> 4 codes per sector exercises the lane-block interleave
-    rp, dp = 32, 32  # id_secs=1, code sectors=8, nsec=16
-    rng = np.random.default_rng(17)
-    n, bw = 256, 512
-    rows = _rand_sector_rows(rng, n, rp, dp)
-    beam = jnp.asarray(rng.integers(0, n, size=(bw,)).astype(np.int32))
-    qiw = jnp.asarray(rng.integers(-127, 128, size=(bw, dp)).astype(np.int8))
-    hdr_k, dots_k = fatrow_expand(
-        rows, beam, qiw, rp=rp, dp=dp, interpret=True
-    )
-    hdr_r, dots_r = fatrow_expand_ref(rows, beam, qiw, rp=rp, dp=dp)
-    np.testing.assert_array_equal(np.asarray(hdr_k), np.asarray(hdr_r))
-    np.testing.assert_array_equal(np.asarray(dots_k), np.asarray(dots_r))
+    # dp=32 -> dpw=8, 16 codes per word-row: exercises the lane-block
+    # interleave and byte-plane unpack at a different geometry
+    _expand_case(np.random.default_rng(17), 256, 512, 32, 32)
 
 
-def test_append_words_matches_byte_scatter():
-    # the TPU word-scatter append must produce byte-identical tables to the
-    # chunked byte-scatter fallback
-    import jax
-
-    from diskann_tpu.graph import packed as pk
-    from diskann_tpu.ops.distance import Metric
-
+def test_append_words_matches_refresh():
+    # appending one edge per (target, slot) must leave exactly the bytes a
+    # full refresh of the same adjacency writes (ids, aux and codes)
     rng = np.random.default_rng(31)
-    cap, d, dp, rs = 512, 32, 16, 20
+    cap, d, dp, rs = 256, 32, 16, 20
     proj, pscale, pbias2 = pk.train_packed(
         rng.standard_normal((256, d)).astype(np.float32), dp, Metric.L2
     )
@@ -98,64 +69,50 @@ def test_append_words_matches_byte_scatter():
         Metric.L2,
     )
     p = pk.set_self_codes(p, jnp.arange(cap, dtype=jnp.int32), codes, aux)
+    # zero node 0's codes: refresh writes clip(-1 -> 0)'s codes into EMPTY
+    # slots (masked by aux=inf) while append leaves the alloc-time zeros —
+    # make both paths byte-identical for the comparison below
+    p = p._replace(self_codes=p.self_codes.at[0].set(0))
 
+    # adjacency with exactly one neighbor per (row, slot) pair to append
+    adj = np.full((cap, rs), -1, np.int32)
     e = 2048
-    pairs = rng.choice(cap * p.r_pack, size=e, replace=False)
-    tgt = (pairs // p.r_pack).astype(np.int32)
-    slot = (pairs % p.r_pack).astype(np.int32)
+    pairs = rng.choice(cap * rs, size=e, replace=False)
+    tgt = (pairs // rs).astype(np.int32)
+    slot = (pairs % rs).astype(np.int32)
     src = rng.integers(0, cap, size=e).astype(np.int32)
     ok = rng.random(e) > 0.1
-    tgt_s = jnp.asarray(np.where(ok, tgt, cap).astype(np.int32))
-    slot_s = jnp.asarray(np.where(ok, slot, 0).astype(np.int32))
-    src_j = jnp.asarray(src)
-    aux_g = p.self_aux[jnp.clip(src_j, 0, cap - 1)]
-    codes_g = p.self_codes[jnp.clip(src_j, 0, cap - 1)]
+    adj[tgt[ok], slot[ok]] = src[ok]
 
-    def run_sliced(slice_bytes):
-        base, slot_w, id_w, aux_w, code_w = pk._append_prep(
-            p.self_codes, p.self_aux, jnp.asarray(tgt), jnp.asarray(slot),
-            src_j, jnp.asarray(ok), p.nsec,
-        )
-        rows = jnp.array(p.rows)  # copy: _append_slice donates its input
-        r_sec = rows.shape[0]
-        n_slices = max(1, -(-(r_sec * 128) // slice_bytes))
-        srows = -(-r_sec // n_slices)
-        for s in range(n_slices):
-            lo, hi = s * srows, min((s + 1) * srows, r_sec)
-            rows = pk._append_slice(
-                rows, base, slot_w, id_w, aux_w, code_w,
-                lo=lo, hi=hi, id_s=p.id_secs, nsec=p.nsec, dp=p.dp,
-            )
-        return rows
-
-    rows_w = run_sliced(1 << 40)   # single slice
-    # sliced variant (bounded-transient path) must agree byte-for-byte,
-    # including negative/OOB word indices being dropped per slice
-    rows_s = run_sliced(16384)
-    ref = pk.append_edges(
-        p, jnp.asarray(tgt), jnp.asarray(slot), src_j, jnp.asarray(ok)
-    )  # CPU backend -> byte-scatter fallback
-    live = cap * p.nsec  # dump-row write order differs between forms
-    np.testing.assert_array_equal(
-        np.asarray(rows_w)[:live], np.asarray(ref.rows)[:live]
+    via_append = pk.append_edges(
+        p, jnp.asarray(tgt), jnp.asarray(slot), jnp.asarray(src),
+        jnp.asarray(ok),
     )
+    via_refresh = pk.refresh_rows(
+        p, jnp.asarray(adj), jnp.arange(cap, dtype=jnp.int32)
+    )
+    live = cap * p.nwr
     np.testing.assert_array_equal(
-        np.asarray(rows_s)[:live], np.asarray(ref.rows)[:live]
+        np.asarray(via_append.rows)[:live],
+        np.asarray(via_refresh.rows)[:live],
     )
 
 
 def test_block_patch_parity_interpret():
     rng = np.random.default_rng(23)
     n_rows = 8 * 4096  # 4096 patchable blocks
-    table = rng.integers(-127, 128, size=(n_rows, 128)).astype(np.int8)
-    g = PATCH_BLOCK
-    # unique destination blocks (duplicate blocks need identical vals)
-    idx = rng.choice(n_rows // 8, size=g, replace=False).astype(np.int32)
-    vals = rng.integers(-127, 128, size=(g * 8, 128)).astype(np.int8)
+    for dt in (np.int8, np.int32):
+        table = rng.integers(-100, 100, size=(n_rows, 128)).astype(dt)
+        g = PATCH_BLOCK
+        # unique destination blocks (duplicate blocks need identical vals)
+        idx = rng.choice(n_rows // 8, size=g, replace=False).astype(np.int32)
+        vals = rng.integers(-100, 100, size=(g * 8, 128)).astype(dt)
 
-    out = block_patch(
-        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals),
-        interpret=True,
-    )
-    exp = block_patch_ref(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals))
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(exp))
+        out = block_patch(
+            jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals),
+            interpret=True,
+        )
+        exp = block_patch_ref(
+            jnp.asarray(table), jnp.asarray(idx), jnp.asarray(vals)
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(exp))
