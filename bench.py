@@ -55,8 +55,11 @@ def main():
     x, q = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35, device=True)
     LOG(f"[bench] data ready in {time.time()-t0:.1f}s")
 
+    # Cache key includes every data-generation parameter so changing the
+    # distribution never silently reuses a stale groundtruth file.
     gt_cache = os.environ.get(
-        "BENCH_GT_CACHE", f"/tmp/diskann_bench_gt_{n}_{nq}_{d}_{k}.npy"
+        "BENCH_GT_CACHE",
+        f"/tmp/diskann_bench_gt_s0_c4096_sig0.35_{n}_{nq}_{d}_{k}.npy",
     )
     if os.path.exists(gt_cache):
         gt = np.load(gt_cache)

@@ -282,10 +282,20 @@ class ShardedGraphIndex:
         from diskann_tpu.graph import packed as pk
 
         if train_sample is None:
-            # sample from shard 0's live vectors
-            v0 = np.asarray(self.stacked.vectors[0])
-            n0 = max(int(np.asarray(self.ns[0])), 1)
-            train_sample = v0[: max(n0, 256)]
+            # sample live rows from EVERY shard (capacity rows past each
+            # shard's fill count are zeros and would skew the projection)
+            ns = np.asarray(self.ns)
+            per = max(1, int(np.ceil(256 / max(len(ns), 1))))
+            parts = []
+            for s in range(len(ns)):
+                n_s = int(ns[s])
+                if n_s > 0:
+                    vs = np.asarray(self.stacked.vectors[s][: min(n_s, per)])
+                    parts.append(vs)
+            train_sample = (
+                np.concatenate(parts, axis=0) if parts
+                else np.zeros((1, self.dim), np.float32)
+            )
         proj, pscale, pbias2 = pk.train_packed(
             np.asarray(train_sample, np.float32), min(dp, self.dim),
             self.config.metric,

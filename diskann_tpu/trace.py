@@ -25,6 +25,7 @@ import time
 _state = threading.local()
 _all_spans: list[dict] = []
 _lock = threading.Lock()
+_next_id = 1   # ids allocated at span START (spans append at exit)
 _enabled = False   # opt-in: enable() / the bench CLI --trace flag
 
 
@@ -45,10 +46,12 @@ def span(name: str, **attributes):
     if not _enabled:
         yield
         return
+    global _next_id
     stk = _stack()
     parent = stk[-1]["id"] if stk else None
     with _lock:
-        sid = len(_all_spans) + 1
+        sid = _next_id
+        _next_id += 1
     rec = {
         "id": sid,
         "name": name,
