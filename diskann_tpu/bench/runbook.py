@@ -1,15 +1,23 @@
 """Streaming runbook executor (BigANN format).
 
-Reference: `diskann-benchmark-core/src/streaming/executors/bigann/runbook.rs:23-60`
-— a YAML file describes a churn workload as numbered steps over a dataset:
-``insert`` / ``delete`` ranges, ``replace``, ``search`` checkpoints (and our
-``consolidate``).  The executor drives a `GraphIndex` through the steps and
-reports recall at every search checkpoint against exact groundtruth over the
-currently-live points (computed with the flat index on device)."""
+Reference: `diskann-benchmark-core/src/streaming/executors/bigann/runbook.rs:23-120`
+— a YAML file maps a dataset name to a churn workload of numbered stages:
+``insert`` / ``delete`` ranges over external ids (tags), ``replace`` (the
+vectors tagged ``tags_start..tags_end`` are replaced with the dataset rows
+``ids_start..ids_end``), and ``search`` checkpoints (plus our
+``consolidate`` extension).  ``max_pts`` bounds the live set, so runbooks
+like the shipped ``test_data/yfcc/yfcc_runbook.yaml`` force slot recycling.
+
+The executor drives a `GraphIndex` through the stages, tracking the
+tag -> dataset-row mapping (a replaced tag serves different data afterward),
+and reports recall at every search checkpoint against exact groundtruth over
+the currently-live points (computed with the flat index on device).
+"""
 
 from __future__ import annotations
 
 import time
+from typing import NamedTuple
 
 import numpy as np
 
@@ -18,27 +26,61 @@ from diskann_tpu.flat.index import FlatIndex
 from diskann_tpu.graph.index import GraphIndex
 
 
+class Runbook(NamedTuple):
+    name: str | None
+    max_pts: int | None
+    steps: list[dict]
+
+
 def parse_runbook(text_or_obj):
     """Accepts a YAML string, a list of step dicts, or a BigANN-style
-    numbered mapping {1: {...}, 2: {...}}."""
+    numbered mapping {1: {...}, 2: {...}}; returns the step list.
+    Use `load_runbook` to also recover the dataset name and max_pts."""
+    return load_runbook(text_or_obj).steps
+
+
+def load_runbook(text_or_obj, dataset: str | None = None) -> Runbook:
+    """Full BigANN runbook loader (`runbook.rs:33-120`): the top level maps
+    dataset names to runbook definitions with `max_pts` + numbered stages
+    (`gt_url` is parsed and ignored, as in the reference)."""
     obj = text_or_obj
     if isinstance(obj, str):
         import yaml
 
         obj = yaml.safe_load(obj)
+    name = None
+    max_pts = None
     if isinstance(obj, dict):
+        numbered = {k: v for k, v in obj.items() if str(k).isdigit()}
+        if not numbered and "steps" not in obj:
+            # dataset-name -> runbook-definition nesting
+            if dataset is None:
+                if len(obj) != 1:
+                    raise ValueError(
+                        f"runbook holds {sorted(obj)}; pass dataset="
+                    )
+                dataset = next(iter(obj))
+            name = dataset
+            obj = obj[dataset]
+            numbered = {k: v for k, v in obj.items() if str(k).isdigit()}
+        max_pts = obj.get("max_pts") if isinstance(obj, dict) else None
         if "steps" in obj:
             steps = obj["steps"]
         else:
-            keyed = {int(k): v for k, v in obj.items() if str(k).isdigit()}
+            keyed = {int(k): v for k, v in numbered.items()}
             steps = [keyed[k] for k in sorted(keyed)]
     else:
         steps = list(obj)
-    return steps
+    return Runbook(name, max_pts, steps)
 
 
 class RunbookExecutor:
-    """Drives an index through a streaming churn workload."""
+    """Drives an index through a streaming churn workload.
+
+    External ids (tags) follow the BigANN convention: an `insert` stage uses
+    the dataset offsets ``start..end`` as both data rows and tags; a
+    `replace` stage re-points existing tags ``tags_start..tags_end`` at the
+    dataset rows ``ids_start..ids_end`` (`runbook.rs:96-110`)."""
 
     def __init__(
         self,
@@ -54,13 +96,13 @@ class RunbookExecutor:
         self.queries = np.asarray(queries, np.float32)
         self.k = k
         self.l_search = l_search
-        # dataset row -> internal id (insert order defines the mapping)
-        self.row_to_id: dict[int, int] = {}
-        self.live_rows: set[int] = set()
+        self.tag_to_id: dict[int, int] = {}   # live tag -> internal id
+        self.tag_to_row: dict[int, int] = {}  # live tag -> dataset row served
         self.log: list[dict] = []
 
-    def _ids_for_rows(self, rows):
-        return np.array([self.row_to_id[r] for r in rows], np.int64)
+    @property
+    def live_tags(self) -> set[int]:
+        return set(self.tag_to_id)
 
     def run(self, steps) -> list[dict]:
         steps = parse_runbook(steps)
@@ -69,37 +111,49 @@ class RunbookExecutor:
             t0 = time.time()
             entry = {"step": i, "operation": op}
             if op == "insert":
-                rows = range(int(step["start"]), int(step["end"]))
-                ids = self.index.insert(self.data[list(rows)])
-                for r, iid in zip(rows, ids):
-                    self.row_to_id[r] = int(iid)
-                    self.live_rows.add(r)
+                tags = list(range(int(step["start"]), int(step["end"])))
+                ids = self.index.insert(self.data[tags])
+                for t, iid in zip(tags, ids):
+                    self.tag_to_id[t] = int(iid)
+                    self.tag_to_row[t] = t
                 entry["count"] = len(ids)
             elif op == "delete":
-                rows = [
-                    r for r in range(int(step["start"]), int(step["end"]))
-                    if r in self.live_rows
+                tags = [
+                    t for t in range(int(step["start"]), int(step["end"]))
+                    if t in self.tag_to_id
                 ]
-                self.index.delete(self._ids_for_rows(rows))
-                for r in rows:
-                    self.live_rows.discard(r)
-                entry["count"] = len(rows)
+                if tags:
+                    self.index.delete(
+                        np.array([self.tag_to_id[t] for t in tags], np.int64)
+                    )
+                for t in tags:
+                    del self.tag_to_id[t]
+                    del self.tag_to_row[t]
+                entry["count"] = len(tags)
             elif op == "replace":
-                # BigANN replace: overwrite rows [ids_start, ids_end) with
-                # data rows [tags_start, tags_end): delete + insert
-                old = [
-                    r for r in range(int(step["ids_start"]), int(step["ids_end"]))
-                    if r in self.live_rows
+                # tags [tags_start, tags_end) now serve dataset rows
+                # [ids_start, ids_end): delete the old internal ids, insert
+                # the new vectors, keep the tags (slots recycle via freelist)
+                t0r, t1r = int(step["tags_start"]), int(step["tags_end"])
+                r0, r1 = int(step["ids_start"]), int(step["ids_end"])
+                assert t1r - t0r == r1 - r0, (step,)
+                pairs = [
+                    (t, r0 + (t - t0r))
+                    for t in range(t0r, t1r)
+                    if t in self.tag_to_id
                 ]
-                self.index.delete(self._ids_for_rows(old))
-                for r in old:
-                    self.live_rows.discard(r)
-                rows = range(int(step["tags_start"]), int(step["tags_end"]))
-                ids = self.index.insert(self.data[list(rows)])
-                for r, iid in zip(rows, ids):
-                    self.row_to_id[r] = int(iid)
-                    self.live_rows.add(r)
-                entry["count"] = len(old) + len(ids)
+                if pairs:
+                    self.index.delete(
+                        np.array(
+                            [self.tag_to_id[t] for t, _ in pairs], np.int64
+                        )
+                    )
+                    rows = [r for _, r in pairs]
+                    ids = self.index.insert(self.data[rows])
+                    for (t, r), iid in zip(pairs, ids):
+                        self.tag_to_id[t] = int(iid)
+                        self.tag_to_row[t] = r
+                entry["count"] = len(pairs)
             elif op == "consolidate":
                 self.index.consolidate()
             elif op == "search":
@@ -111,19 +165,18 @@ class RunbookExecutor:
         return self.log
 
     def _checkpoint_recall(self) -> float:
-        live = sorted(self.live_rows)
-        if not live:
+        tags = sorted(self.tag_to_id)
+        if not tags:
             return 0.0
-        live_arr = np.array(live)
-        flat = FlatIndex(self.data[live_arr], self.index.metric)
-        k = min(self.k, len(live))
+        rows = np.array([self.tag_to_row[t] for t in tags])
+        flat = FlatIndex(self.data[rows], self.index.metric)
+        k = min(self.k, len(tags))
         _, gt_local = flat.search(self.queries, k=k)
-        # map local flat ids -> dataset rows -> internal ids
+        # map local flat positions -> internal ids
+        internal = np.array([self.tag_to_id[t] for t in tags])
         gt_ids = np.where(
             gt_local >= 0,
-            np.array([self.row_to_id[r] for r in live_arr])[
-                np.clip(gt_local, 0, len(live) - 1)
-            ],
+            internal[np.clip(gt_local, 0, len(tags) - 1)],
             -1,
         )
         l = self.l_search or max(self.index.config.l_build, 2 * k)

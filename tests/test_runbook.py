@@ -43,8 +43,9 @@ def test_churn_workload_stable_recall(rng):
         {"operation": "search"},
         {"operation": "insert", "start": 800, "end": 1300},
         {"operation": "search"},
-        {"operation": "replace", "ids_start": 300, "ids_end": 500,
-         "tags_start": 1300, "tags_end": 1500},
+        # tags 300..500 (live) re-point at dataset rows 1300..1500
+        {"operation": "replace", "tags_start": 300, "tags_end": 500,
+         "ids_start": 1300, "ids_end": 1500},
         {"operation": "consolidate"},
         {"operation": "search"},
     ])
