@@ -611,37 +611,80 @@ class GraphIndex:
 
     # -------------------------------------------------------------- save/load
     def save(self, path: str) -> None:
-        """Persist the index (versioned manifest + binary artifacts,
-        `diskann-record` semantics; provider-level index_storage analogue)."""
+        """Persist the index AND every attachment (packed layout, PQ/SQ/
+        spherical codes, labels, pinned start) so a reload reproduces
+        identical search results in every mode.
+
+        Versioned manifest + binary artifacts (`diskann-record` semantics;
+        provider-level analogue of `diskann-providers/src/storage/
+        {index_storage,pq_storage,sq_storage}.rs`)."""
         from diskann_tpu.io_.record import save_record
 
         cfg = self.config
-        save_record(
-            path,
-            kind="graph_index",
-            meta={
-                "n": self.n,
-                "dim": self.dim,
-                "n_deleted": self.n_deleted,
-                "free_slots": list(map(int, self.free_slots)),
-                "config": {
-                    "max_degree": cfg.max_degree,
-                    "l_build": cfg.l_build,
-                    "alpha": cfg.alpha,
-                    "graph_slack_factor": cfg.graph_slack_factor,
-                    "max_occlusion_size": cfg.max_occlusion_size,
-                    "saturate_after_prune": cfg.saturate_after_prune,
-                    "metric": cfg.metric.value,
-                    "beam_width": cfg.beam_width,
-                },
+        n = self.n
+        meta = {
+            "n": n,
+            "dim": self.dim,
+            "n_deleted": self.n_deleted,
+            "free_slots": list(map(int, self.free_slots)),
+            "hbm_vectors_dropped": bool(
+                getattr(self, "_hbm_vectors_dropped", False)
+            ),
+            "config": {
+                "max_degree": cfg.max_degree,
+                "l_build": cfg.l_build,
+                "alpha": cfg.alpha,
+                "graph_slack_factor": cfg.graph_slack_factor,
+                "max_occlusion_size": cfg.max_occlusion_size,
+                "saturate_after_prune": cfg.saturate_after_prune,
+                "metric": cfg.metric.value,
+                "beam_width": cfg.beam_width,
             },
-            arrays={
-                "vectors": np.asarray(self.state.vectors[: self.n]),
-                "adjacency": np.asarray(self.state.adjacency[: self.n]),
-                "degrees": np.asarray(self.state.degrees[: self.n]),
-                "valid": np.asarray(self.state.valid[: self.n]),
-            },
-        )
+        }
+        arrays = {
+            "adjacency": np.asarray(self.state.adjacency[:n]),
+            "degrees": np.asarray(self.state.degrees[:n]),
+            "valid": np.asarray(self.state.valid[:n]),
+        }
+        if not meta["hbm_vectors_dropped"]:
+            arrays["vectors"] = np.asarray(self.state.vectors[:n])
+            # persisted (not recomputed on load): device-computed norms can
+            # differ by an ulp from a host recompute, and "identical results
+            # after reload" is the contract
+            arrays["sq_norms"] = np.asarray(self.state.sq_norms[:n])
+        if self._cached_start is not None:
+            arrays["cached_start"] = np.asarray(self._cached_start)
+
+        if self.packed is not None:
+            p = self.packed
+            meta["packed"] = {"r_pack": int(p.r_pack), "dp": int(p.dp)}
+            arrays["packed_proj"] = np.asarray(p.proj)
+            arrays["packed_pscale"] = np.asarray(p.pscale)
+            arrays["packed_pbias2"] = np.asarray(p.pbias2)
+            arrays["packed_self_codes"] = np.asarray(p.self_codes[:n])
+            arrays["packed_self_aux"] = np.asarray(p.self_aux[:n])
+            arrays["packed_rows"] = np.asarray(p.rows[: n * p.nwr])
+        if getattr(self, "pq", None) is not None:
+            arrays["pq_pivots"] = np.asarray(self.pq.pivots)
+            arrays["pq_codes"] = np.asarray(self.pq_codes[:n])
+        if getattr(self, "sq", None) is not None:
+            meta["sq"] = {"n_bits": int(self.sq.n_bits)}
+            arrays["sq_scale"] = np.asarray(self.sq.scale)
+            arrays["sq_bias"] = np.asarray(self.sq.bias)
+            arrays["sq_codes"] = np.asarray(self.sq_codes[:n])
+            arrays["sq_bias2"] = np.asarray(self.sq_bias2)
+            arrays["sq_aux"] = np.asarray(self.sq_aux[:n])
+        if getattr(self, "sph", None) is not None:
+            meta["spherical"] = {"n_bits": int(self.sph.n_bits)}
+            arrays["sph_rotation"] = np.asarray(self.sph.rotation)
+            arrays["sph_words"] = np.asarray(self.sph_words[:n])
+            arrays["sph_norms"] = np.asarray(self.sph_norms[:n])
+            arrays["sph_cscale"] = np.asarray(self.sph_cscale[:n])
+        if getattr(self, "labels", None) is not None:
+            meta["labels"] = {"vocab": self.labels.vocab}
+            arrays["labels_bits"] = np.asarray(self.labels.bits[:n])
+
+        save_record(path, kind="graph_index", meta=meta, arrays=arrays)
 
     @classmethod
     def load(cls, path: str, **kwargs) -> "GraphIndex":
@@ -665,22 +708,114 @@ class GraphIndex:
         idx.n = n
         idx.n_deleted = meta.get("n_deleted", 0)
         idx.free_slots = list(meta.get("free_slots", []))
-        vecs = jnp.asarray(arrays["vectors"])
         valid = jnp.asarray(arrays["valid"])
         st = idx.state
+        dropped = meta.get("hbm_vectors_dropped", False)
+        if dropped:
+            idx._hbm_vectors_dropped = True
+            st = st._replace(
+                vectors=jnp.zeros((1, idx.dim), st.vectors.dtype),
+                sq_norms=jnp.zeros((1,), jnp.float32),
+            )
+        else:
+            vecs = jnp.asarray(arrays["vectors"])
+            norms = (
+                jnp.asarray(arrays["sq_norms"])
+                if "sq_norms" in arrays
+                else jnp.sum(vecs.astype(jnp.float32) ** 2, axis=-1)
+            )
+            st = st._replace(
+                vectors=st.vectors.at[:n].set(vecs.astype(st.vectors.dtype)),
+                sq_norms=st.sq_norms.at[:n].set(norms),
+                vec_sum=jnp.sum(
+                    jnp.where(valid[:, None], vecs.astype(jnp.float32), 0.0),
+                    axis=0,
+                ),
+            )
         st = st._replace(
-            vectors=st.vectors.at[:n].set(vecs.astype(st.vectors.dtype)),
-            sq_norms=st.sq_norms.at[:n].set(
-                jnp.sum(vecs.astype(jnp.float32) ** 2, axis=-1)
-            ),
             adjacency=st.adjacency.at[:n].set(jnp.asarray(arrays["adjacency"])),
             degrees=st.degrees.at[:n].set(jnp.asarray(arrays["degrees"])),
             valid=st.valid.at[:n].set(valid),
-            vec_sum=jnp.sum(
-                jnp.where(valid[:, None], vecs.astype(jnp.float32), 0.0), axis=0
-            ),
         )
         idx.state = st
+        if "cached_start" in arrays:
+            idx._cached_start = jnp.asarray(arrays["cached_start"])
+
+        cap = idx.state.capacity
+        if "packed" in meta:
+            from diskann_tpu.graph import packed as packed_mod
+
+            pm = meta["packed"]
+            rp, dp = pm["r_pack"], pm["dp"]
+            nwr = packed_mod.n_wrows(rp, dp)
+            rows = packed_mod._empty_rows(cap + 1, rp, dp)
+            rows = jax.lax.dynamic_update_slice(
+                rows, jnp.asarray(arrays["packed_rows"]), (0, 0)
+            )
+            idx.packed = packed_mod.PackedState(
+                proj=jnp.asarray(arrays["packed_proj"]),
+                pscale=jnp.asarray(arrays["packed_pscale"]),
+                pbias2=jnp.asarray(arrays["packed_pbias2"]),
+                self_codes=jnp.zeros((cap, dp), jnp.int8)
+                .at[:n].set(jnp.asarray(arrays["packed_self_codes"])),
+                self_aux=jnp.zeros((cap,), jnp.float32)
+                .at[:n].set(jnp.asarray(arrays["packed_self_aux"])),
+                rows=rows,
+                r_pack=rp,
+            )
+        if "pq_pivots" in arrays:
+            from diskann_tpu.quant.pq import PQ
+
+            idx.pq = PQ(pivots=jnp.asarray(arrays["pq_pivots"]), dim=idx.dim)
+            m = idx.pq.n_chunks
+            idx.pq_codes = jnp.zeros((cap, m), jnp.uint8).at[:n].set(
+                jnp.asarray(arrays["pq_codes"])
+            )
+        if "sq" in meta:
+            from diskann_tpu.quant.scalar import ScalarQuantizer
+
+            idx.sq = ScalarQuantizer(
+                scale=jnp.asarray(arrays["sq_scale"]),
+                bias=jnp.asarray(arrays["sq_bias"]),
+                n_bits=meta["sq"]["n_bits"],
+            )
+            idx.sq_codes = jnp.zeros((cap, idx.dim), jnp.int8).at[:n].set(
+                jnp.asarray(arrays["sq_codes"])
+            )
+            idx.sq_bias2 = jnp.asarray(arrays["sq_bias2"])
+            idx.sq_aux = jnp.zeros((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["sq_aux"])
+            )
+        if "spherical" in meta:
+            from diskann_tpu.quant.spherical import SphericalQuantizer
+
+            idx.sph = SphericalQuantizer(
+                rotation=jnp.asarray(arrays["sph_rotation"]),
+                n_bits=meta["spherical"]["n_bits"],
+            )
+            wd = arrays["sph_words"].shape[1]
+            wdt = jnp.asarray(arrays["sph_words"]).dtype
+            idx.sph_words = jnp.zeros((cap, wd), wdt).at[:n].set(
+                jnp.asarray(arrays["sph_words"])
+            )
+            idx.sph_norms = jnp.zeros((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["sph_norms"])
+            )
+            idx.sph_cscale = jnp.zeros((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["sph_cscale"])
+            )
+        if "labels" in meta:
+            from diskann_tpu.filters import LabelSet
+
+            vocab = meta["labels"]["vocab"]
+            bits = np.asarray(arrays["labels_bits"])
+            ls = LabelSet(cap, vocab, n_words=bits.shape[1])
+            ls.bits = jnp.asarray(
+                np.concatenate(
+                    [bits, np.zeros((cap - n, bits.shape[1]), bits.dtype)]
+                )
+            )
+            idx.labels = ls
         return idx
 
     # ------------------------------------------------------------------ misc

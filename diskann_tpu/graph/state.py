@@ -35,7 +35,9 @@ class GraphArrays(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.vectors.shape[0]
+        # adjacency, not vectors: the tiered flow drops the HBM vector copy
+        # to a [1, d] stub, but the graph keeps full capacity
+        return self.adjacency.shape[0]
 
     @property
     def dim(self) -> int:

@@ -95,6 +95,7 @@ class NativeVectorFile:
         if lib is None:
             raise RuntimeError("native hostio unavailable")
         self._lib = lib
+        self.path = path
         self._h = lib.hio_open(path.encode(), elem_size)
         if not self._h:
             raise OSError(f"hio_open failed for {path}")

@@ -38,6 +38,7 @@ class HostVectorStore:
         self.vectors = vectors  # may be np.memmap
         self.n, self.dim = vectors.shape
         self._native = None
+        self.source_path: str | None = None
 
     @classmethod
     def from_fbin(cls, path: str, *, cache_rows: int = 0):
@@ -49,11 +50,14 @@ class HostVectorStore:
             self.vectors = None
             self.n, self.dim = nf.n, nf.dim
             self._native = nf
+            self.source_path = path
             return self
         except Exception:
             from diskann_tpu.io_.fbin import read_fbin
 
-            return cls(read_fbin(path, mmap=True))
+            self = cls(read_fbin(path, mmap=True))
+            self.source_path = path
+            return self
 
     def fetch(self, ids: np.ndarray) -> np.ndarray:
         """Batched row gather (the io_uring read batch)."""
@@ -228,6 +232,60 @@ class TieredIndex:
                 cmps[poff : poff + m] = pc[:m]
             pending = nxt
         return out_d, out_i, cmps
+
+
+    # -------------------------------------------------------------- save/load
+    def save(self, path: str, *, copy_vectors: bool | None = None) -> None:
+        """Persist the whole tier: graph + packed layout (via
+        `GraphIndex.save`) and the host vector store.  A file-backed store
+        records its source path; an in-RAM store is written to
+        ``vectors.fbin`` inside the record (on-disk index analogue of
+        `diskann-disk/src/storage/disk_index_writer.rs` +
+        `data_model/graph_header.rs:17-46`)."""
+        import json
+        import os
+
+        from diskann_tpu.io_.fbin import write_fbin
+
+        os.makedirs(path, exist_ok=True)
+        self.graph.save(os.path.join(path, "graph"))
+        store_meta = {"n": self.store.n, "dim": self.store.dim}
+        src = getattr(self.store, "source_path", None)
+        if copy_vectors is None:
+            copy_vectors = src is None and self.store.vectors is not None
+        if copy_vectors:
+            write_fbin(
+                os.path.join(path, "vectors.fbin"),
+                np.asarray(self.store.vectors, np.float32)
+                if self.store.vectors is not None
+                else self.store.fetch(np.arange(self.store.n)),
+            )
+            store_meta["file"] = "vectors.fbin"
+        else:
+            store_meta["source_path"] = src
+        with open(os.path.join(path, "tiered.json"), "w") as f:
+            json.dump(
+                {"format_version": 1, "io_limit": self.io_limit,
+                 "store": store_meta},
+                f, indent=2,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "TieredIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "tiered.json")) as f:
+            meta = json.load(f)
+        graph = GraphIndex.load(os.path.join(path, "graph"))
+        sm = meta["store"]
+        if "file" in sm:
+            store = HostVectorStore.from_fbin(os.path.join(path, sm["file"]))
+        elif sm.get("source_path"):
+            store = HostVectorStore.from_fbin(sm["source_path"])
+        else:
+            raise ValueError("tiered record has no vector source")
+        return cls(graph, store, io_limit=meta.get("io_limit"))
 
 
 @partial(jax.jit, static_argnames=("metric", "k"))
