@@ -9,11 +9,19 @@ cleanup (`drop_deleted_neighbors` / `consolidate_vector`, index.rs:1756,1819)
 sweeps remaining dangling references.
 
 TPU re-design: deletion state is a liveness bitmap; in-neighbor discovery is
-one vectorized `deleted[adjacency]` gather over the whole graph instead of
-per-node reverse maps; affected rows are patched as one batched
-remove+union+prune kernel.  The replacement policy is the reference's
-``OneHop`` method (index.rs:1240 `graph/misc.rs:27`): candidates come from
-the out-lists of the deleted entries found in each row.
+batched gathers over the deleted nodes' neighborhoods instead of per-node
+reverse maps; affected rows are patched as one batched remove+union+prune
+kernel.  All three reference replacement policies (`InplaceDeleteMethod`,
+`graph/misc.rs:27-32`, `index.rs:1100-1337`) are implemented:
+
+- ``one_hop``: in-neighbors approximated by the deleted node's out-list;
+  replacement candidates are the out-lists of the dead entries in each row.
+- ``two_hop_one_hop`` (the streaming harness default, `diskann-benchmark-
+  core/src/streaming/graph/inplace_delete.rs:113`): in-neighbors from the
+  two-hop neighborhood; replacements as in one_hop.
+- ``visited_topk`` (`VisitedAndTopK{k,l}`): a beam search seeded with each
+  deleted vector finds its approximate top-L undeleted neighbors; those are
+  both the in-neighbor candidates and (truncated to k) the replacements.
 """
 
 from __future__ import annotations
@@ -63,14 +71,17 @@ def patch_rows(
     *,
     max_dead: int = 4,
     prune_chunk: int = 0,
+    repl_lookup: jax.Array | None = None,  # [cap+1] i32: dead id -> table row
+    repl_table: jax.Array | None = None,   # [D, K] i32 replacement candidates
 ) -> GraphArrays:
-    """Patch rows that reference deleted nodes (one batched OneHop repair).
+    """Patch rows that reference deleted nodes (one batched repair).
 
-    For each row: keep live entries; pull replacement candidates from the
-    out-lists of up to ``max_dead`` deleted entries; RobustPrune the union
-    back to R if it exceeds the slack capacity, else keep the union directly
-    (matching `inplace_delete_inner`'s patch-then-maybe-prune,
-    index.rs:1558)."""
+    For each row: keep live entries; pull replacement candidates for up to
+    ``max_dead`` deleted entries — from each dead entry's out-list (the
+    one_hop/two_hop policies) or from ``repl_table`` (the visited_topk
+    policy); RobustPrune the union back to R if it exceeds the slack
+    capacity, else keep the union directly (matching
+    `inplace_delete_inner`'s patch-then-maybe-prune, index.rs:1558)."""
     cap = state.capacity
     r_slack = state.max_degree_slack
     r = config.max_degree
@@ -90,9 +101,18 @@ def patch_rows(
     dead_ids = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(
         dead_ids, dslot, adj
     )
-    # replacement candidates: out-lists of the dead entries (OneHop)
-    repl = state.adjacency[jnp.clip(dead_ids, 0, cap - 1)]        # [A, md, Rs]
-    repl = jnp.where((dead_ids >= 0)[:, :, None], repl, -1).reshape(a, -1)
+    if repl_table is not None:
+        # replacement candidates: the dead entry's precomputed top-k
+        # undeleted neighbors (VisitedAndTopK, index.rs:1167-1237)
+        tr = repl_lookup[jnp.clip(dead_ids, 0, cap)]              # [A, md]
+        repl = repl_table[jnp.clip(tr, 0, repl_table.shape[0] - 1)]
+        repl = jnp.where(
+            ((dead_ids >= 0) & (tr >= 0))[:, :, None], repl, -1
+        ).reshape(a, -1)
+    else:
+        # replacement candidates: out-lists of the dead entries (OneHop)
+        repl = state.adjacency[jnp.clip(dead_ids, 0, cap - 1)]    # [A, md, Rs]
+        repl = jnp.where((dead_ids >= 0)[:, :, None], repl, -1).reshape(a, -1)
     repl_live = state.valid[jnp.clip(repl, 0, cap - 1)] & (repl >= 0)
     # a replacement must not be the row itself
     repl = jnp.where(repl_live & (repl != rows[:, None]), repl, -1)
@@ -126,24 +146,115 @@ def drop_deleted_rows(state: GraphArrays) -> GraphArrays:
     )
 
 
+def _rows_that_reference_deleted(state: GraphArrays, rows_np: np.ndarray):
+    """Filter candidate rows down to live rows whose adjacency contains a
+    deleted id (`return_refs_to_deleted_vertex`, index.rs:1139-1163)."""
+    if len(rows_np) == 0:
+        return rows_np
+    cap = state.capacity
+    rows = jnp.asarray(rows_np.astype(np.int32))
+    adj = state.adjacency[jnp.clip(rows, 0, cap - 1)]
+    dead = (~state.valid[jnp.clip(adj, 0, cap - 1)]) & (adj >= 0)
+    keep = dead.any(axis=1) & state.valid[jnp.clip(rows, 0, cap - 1)]
+    return rows_np[np.asarray(keep)]
+
+
 def inplace_delete(
     index,                     # GraphIndex (facade)
     ids: np.ndarray,
     *,
+    method: str = "scan",
+    k_value: int = 16,
+    l_value: int | None = None,
     patch_batch: int = 1024,
 ) -> None:
     """Multi in-place delete (index.rs:1338 `multi_inplace_delete`): mark,
-    patch every affected in-neighbor row in batches, drop deleted rows."""
+    find affected in-neighbor rows per ``method``, patch them in batches,
+    drop deleted rows.
+
+    method: "one_hop" | "two_hop_one_hop" | "visited_topk" | "scan"
+    ("scan" patches EVERY row referencing a deleted id — a full-graph
+    gather is one cheap vectorized pass on TPU, strictly a superset of the
+    reference's approximations)."""
     ids = np.asarray(ids, np.int64)
+    st = index.state
+    cap = st.capacity
+    # the deleted nodes' out-lists, fetched before rows are dropped
+    out_lists = np.asarray(
+        st.adjacency[jnp.asarray(np.clip(ids, 0, cap - 1), jnp.int32)]
+    )
     index.state = mark_deleted(index.state, jnp.asarray(ids, jnp.int32))
-    affected = np.nonzero(np.asarray(rows_referencing_deleted(index.state)))[0]
+
+    repl_lookup = repl_table = None
+    if method == "scan":
+        affected = np.nonzero(
+            np.asarray(rows_referencing_deleted(index.state))
+        )[0]
+    elif method == "one_hop":
+        cand = np.unique(out_lists[out_lists >= 0])
+        affected = _rows_that_reference_deleted(index.state, cand)
+    elif method == "two_hop_one_hop":
+        one_hop = np.unique(out_lists[out_lists >= 0])
+        if len(one_hop):
+            hop2 = np.asarray(
+                index.state.adjacency[jnp.asarray(one_hop.astype(np.int32))]
+            )
+            cand = np.unique(
+                np.concatenate([one_hop, hop2[hop2 >= 0].ravel()])
+            )
+        else:
+            cand = one_hop
+        affected = _rows_that_reference_deleted(index.state, cand)
+    elif method == "visited_topk":
+        # VisitedAndTopK{k,l} (index.rs:1167-1237): beam-search each deleted
+        # vector; its top-L undeleted results approximate the in-neighbors
+        # AND (truncated to k) the replacement candidates
+        if getattr(index, "_hbm_vectors_dropped", False):
+            raise ValueError("visited_topk needs full vectors in HBM")
+        from diskann_tpu.graph.search import beam_search
+
+        l = l_value or max(k_value, index.config.l_build)
+        qv = index.state.vectors[
+            jnp.asarray(np.clip(ids, 0, cap - 1), jnp.int32)
+        ]
+        res = beam_search(
+            index.state.vectors, index.state.sq_norms,
+            index.state.adjacency, index._start(), qv,
+            metric=index.config.metric, l_search=l,
+            beam_width=index.config.beam_width,
+            max_hops=index.config.max_hops,
+        )
+        rid = res.ids
+        ok = (rid >= 0) & index.state.valid[jnp.clip(rid, 0, cap - 1)]
+        visited = jnp.where(ok, rid, -1)
+        # compact live results left so [:k_value] is the true top-k
+        rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
+        packed_tbl = jnp.full(visited.shape, -1, jnp.int32)
+        packed_tbl = jax.vmap(
+            lambda o, p, v: o.at[jnp.where(p >= 0, p, visited.shape[1])].set(
+                v, mode="drop"
+            )
+        )(packed_tbl, jnp.where(ok, rank, -1), rid)
+        visited_np = np.asarray(packed_tbl)
+        repl_table = jnp.asarray(visited_np[:, :k_value])
+        repl_lookup = (
+            jnp.full((cap + 1,), -1, jnp.int32)
+            .at[jnp.asarray(np.clip(ids, 0, cap - 1), jnp.int32)]
+            .set(jnp.arange(len(ids), dtype=jnp.int32))
+        )
+        cand = np.unique(visited_np[visited_np >= 0])
+        affected = _rows_that_reference_deleted(index.state, cand)
+    else:
+        raise ValueError(f"unknown delete method {method!r}")
+
     for off in range(0, len(affected), patch_batch):
         chunk = affected[off : off + patch_batch].astype(np.int32)
         pad = (-len(chunk)) % patch_batch
         if pad:
             chunk = np.pad(chunk, (0, pad), constant_values=-1)
         index.state = patch_rows(
-            index.state, jnp.asarray(chunk), index.config
+            index.state, jnp.asarray(chunk), index.config,
+            repl_lookup=repl_lookup, repl_table=repl_table,
         )
     index.state = drop_deleted_rows(index.state)
     if index.packed is not None:

@@ -582,12 +582,22 @@ class GraphIndex:
         return np.asarray(fd), np.asarray(fi), stats
 
     # ----------------------------------------------------------------- delete
-    def delete(self, ids) -> None:
+    def delete(self, ids, *, method: str = "scan", k_value: int = 16,
+               l_value: int | None = None) -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
-        Deleted slots go to the freelist for reuse by later inserts."""
+        Deleted slots go to the freelist for reuse by later inserts.
+
+        method selects the replacement policy (`InplaceDeleteMethod`,
+        `diskann/src/graph/misc.rs:27-32`): "one_hop", "two_hop_one_hop",
+        "visited_topk" (k_value/l_value), or "scan" (default: full-graph
+        repair — one vectorized gather on TPU, a superset of all three
+        reference approximations, so no dangling references survive)."""
         from diskann_tpu.graph.delete import inplace_delete
 
-        inplace_delete(self, np.asarray(ids))
+        inplace_delete(
+            self, np.asarray(ids), method=method, k_value=k_value,
+            l_value=l_value,
+        )
         self._invalidate_start()
 
     def consolidate(self) -> None:

@@ -87,3 +87,80 @@ def test_packed_layout_consistent_after_delete(rng):
     # searching the packed layout never returns deleted ids
     _, ids, _ = idx.search(x[dead[:10]] + 0.01, k=5, l_search=24, mode="packed")
     assert not np.isin(ids[ids >= 0], dead).any()
+
+
+@pytest.mark.parametrize(
+    "method", ["one_hop", "two_hop_one_hop", "visited_topk"]
+)
+def test_delete_methods(rng, method):
+    """All three reference InplaceDeleteMethod policies (`graph/misc.rs:27`)
+    keep the graph searchable; deleted ids never surface."""
+    x, idx, _ = build_clustered(rng, n=1400)
+    dead = rng.choice(len(x), size=250, replace=False)
+    alive = np.setdiff1d(np.arange(len(x)), dead)
+    idx.delete(dead, method=method, k_value=12)
+    assert idx.n_live == len(x) - 250
+    # deleted rows dropped, deleted ids never returned
+    adj = np.asarray(idx.state.adjacency[: idx.n])
+    assert (adj[dead] == -1).all()
+    q = x[alive[:60]] + 0.02
+    _, ids, _ = idx.search(q, k=10, l_search=48)
+    assert not np.isin(ids[ids >= 0], dead).any()
+    flat = FlatIndex(x[alive], Metric.L2)
+    _, gt_i = flat.search(q, k=10)
+    r = knn_recall(ids, alive[gt_i], 10)
+    assert r >= 0.85, (method, r)
+    # the approximate methods may leave dangling refs outside their
+    # neighborhood approximation; consolidate sweeps them (index.rs:1756)
+    idx.consolidate()
+    from diskann_tpu.graph.delete import rows_referencing_deleted
+
+    assert not np.asarray(rows_referencing_deleted(idx.state)).any()
+
+
+def test_churn_stability_50pct(rng):
+    """50% insert/delete churn over 10 cycles: recall stays stable
+    (IP-DiskANN / Fresh-DiskANN claim, the streaming harness workload
+    `diskann-benchmark-core/src/streaming/graph/inplace_delete.rs`)."""
+    n, d = 1200, 16
+    centers = rng.standard_normal((24, d)).astype(np.float32)
+
+    def make(m):
+        a = rng.integers(0, 24, size=m)
+        return (centers[a] + 0.15 * rng.standard_normal((m, d))).astype(
+            np.float32
+        )
+
+    x = make(n)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = GraphIndex.build(x, cfg, insert_batch_size=256)
+    live_vecs = {i: x[i] for i in range(n)}
+    ids_of = dict(zip(range(n), range(n)))  # logical -> internal
+    recalls = []
+    for cycle in range(10):
+        # delete 50% of live points
+        live_ids = np.array(sorted(live_vecs))
+        kill = rng.choice(live_ids, size=len(live_ids) // 2, replace=False)
+        idx.delete([ids_of[i] for i in kill],
+                   method="two_hop_one_hop" if cycle % 2 else "one_hop")
+        for i in kill:
+            del live_vecs[i], ids_of[i]
+        # insert the same number of new points
+        newv = make(len(kill))
+        slots = idx.insert(newv)
+        base = max(ids_of) + 1 if ids_of else 0
+        for j, s in enumerate(slots):
+            live_vecs[base + j] = newv[j]
+            ids_of[base + j] = int(s)
+        # measure recall over the live set
+        live_ids = np.array(sorted(live_vecs))
+        lv = np.stack([live_vecs[i] for i in live_ids])
+        q = lv[rng.choice(len(lv), size=50, replace=False)] + 0.02
+        flat = FlatIndex(lv, Metric.L2)
+        _, gt_i = flat.search(q, k=10)
+        gt_internal = np.vectorize(lambda i: ids_of[i])(live_ids[gt_i])
+        _, got, _ = idx.search(q, k=10, l_search=48)
+        recalls.append(knn_recall(got, gt_internal, 10))
+    # stable: no collapse over cycles, and the tail is as good as the head
+    assert min(recalls) >= 0.85, recalls
+    assert np.mean(recalls[5:]) >= np.mean(recalls[:5]) - 0.05, recalls
