@@ -4,16 +4,22 @@ Design (TPU-native promotion of the reference's sharded build,
 `diskann-disk/src/build/builder/core.rs:34-76`):
 
 - The id space is split into ``n_shards`` contiguous ranges of
-  ``cap_per_shard``; global id = shard * cap_per_shard + local id.
+  ``cap_per_shard``; every slot additionally carries an EXTERNAL id, so one
+  logical vector may live in several shards (the reference's 2-way overlap
+  assignment, `diskann-disk/src/utils/partition.rs:23`) and results are
+  deduplicated by external id at merge time.
 - Every shard owns a full `GraphArrays` over its range, stacked on a leading
   axis that is sharded over the mesh's ``"shard"`` axis.  All build work is
   local to a device (`shard_map` over the batched 3-phase insert kernel);
   there is no cross-device traffic during construction — the same
   conflict-freedom the reference gets from per-shard in-memory builds.
 - Search broadcasts the query batch, runs the local frontier-batched beam
-  search per shard, converts results to global ids, then merges the
+  search per shard, converts results to external ids, then merges the
   per-shard top-k lists with ``jax.lax.all_gather`` over ICI followed by one
-  multi-operand sort (replacing the reference's host-side shard merge).
+  multi-operand sort with adjacent-duplicate elimination (replacing the
+  reference's host-side shard merge + id union).
+- Deletes run shard-local too: mark + batched row repair + drop, fanned out
+  with `shard_map` (IP-DiskANN semantics per shard).
 """
 
 from __future__ import annotations
@@ -41,24 +47,42 @@ def _stacked_alloc(n_shards, cap, dim, r_slack, dtype):
     )
 
 
+def _merge_topk_dedup(all_d, all_i, k):
+    """[S, B, L] per-shard sorted lists (EXTERNAL ids) -> global top-k with
+    duplicate external ids removed.  Copies of the same vector in different
+    shards carry bitwise-identical distances (same formula, same bytes), so
+    a (d, id) sort lands them adjacent where one shifted compare marks them."""
+    s, b, l = all_d.shape
+    md = jnp.transpose(all_d, (1, 0, 2)).reshape(b, s * l)
+    mi = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * l)
+    md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=2)
+    prev = jnp.concatenate([jnp.full((b, 1), -2, jnp.int32), mi[:, :-1]], axis=1)
+    dup = (mi == prev) & (mi >= 0)
+    md = jnp.where(dup, jnp.inf, md)
+    mi = jnp.where(dup, -1, mi)
+    md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=1)
+    return md[:, :k], mi[:, :k]
+
+
 @partial(
     jax.jit,
-    static_argnames=("mesh", "config", "cap_per_shard", "k", "l_search"),
+    static_argnames=("mesh", "config", "k", "l_search"),
 )
 def _sharded_search(
     mesh: Mesh,
     stacked: GraphArrays,
+    ext,                      # [n_shards, cap] i32 external ids (-1 empty)
     ns,                       # [n_shards] i32 live counts
     starts,                   # [n_shards, 1] i32 local start ids
     queries,                  # [B, d] replicated
     *,
     config: GraphConfig,
-    cap_per_shard: int,
     k: int,
     l_search: int,
 ):
-    def local(st: GraphArrays, n, start, q):
+    def local(st: GraphArrays, ext, n, start, q):
         st = jax.tree.map(lambda a: a[0], st)
+        ext = ext[0]
         n, start = n[0], start[0]
         res = beam_search(
             st.vectors, st.sq_norms, st.adjacency, start, q,
@@ -67,53 +91,92 @@ def _sharded_search(
             beam_width=config.beam_width,
             max_hops=config.max_hops,
         )
-        shard = jax.lax.axis_index("shard")
-        gids = jnp.where(
-            res.ids >= 0, res.ids + shard * cap_per_shard, -1
-        )
-        # gather every shard's top-L and merge to global top-k
-        all_d = jax.lax.all_gather(res.dists, "shard")      # [S, B, L]
-        all_i = jax.lax.all_gather(gids, "shard")
-        s, b, l = all_d.shape
-        md = jnp.transpose(all_d, (1, 0, 2)).reshape(b, s * l)
-        mi = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * l)
-        md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=1)
-        return md[:, :k], mi[:, :k], res.cmps
+        cap = st.capacity
+        safe = jnp.clip(res.ids, 0, cap - 1)
+        ok = (res.ids >= 0) & st.valid[safe]
+        eids = jnp.where(ok, ext[safe], -1)
+        dd = jnp.where(ok, res.dists, jnp.inf)
+        all_d = jax.lax.all_gather(dd, "shard")             # [S, B, L]
+        all_i = jax.lax.all_gather(eids, "shard")
+        md, mi = _merge_topk_dedup(all_d, all_i, k)
+        return md, mi, res.cmps
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_state, P("shard"), P("shard"), P()),
+        in_specs=(spec_state, P("shard"), P("shard"), P("shard"), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )(stacked, ns, starts, queries)
+    )(stacked, ext, ns, starts, queries)
 
 
 @partial(jax.jit, static_argnames=("mesh", "config"))
-def _sharded_insert(mesh, stacked, ns, starts, batch, row_valid, config):
-    """batch: [n_shards, M, d] — rows routed to shards by the caller."""
+def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
+                    row_ext, config):
+    """batch: [n_shards, M, d] — rows routed to shards by the caller;
+    row_ext: [n_shards, M] external ids for the new rows."""
 
-    def local(st, n, start, vecs, valid):
+    def local(st, ext, n, start, vecs, valid, rext):
         st = jax.tree.map(lambda a: a[0], st)
-        n, start = n[0], start[0]
+        ext, n, start = ext[0], n[0], start[0]
         slots = n + jnp.arange(vecs.shape[1], dtype=jnp.int32)
         st, _packed, stats = insert_batch(
             st, slots, vecs[0], valid[0], start, config,
         )
+        ext = ext.at[jnp.where(valid[0], slots, ext.shape[0])].set(
+            rext[0], mode="drop"
+        )
         new_n = n + valid[0].astype(jnp.int32).sum()
         new_start = graph_state.medoid(st, new_n)[None]
         st = jax.tree.map(lambda a: a[None], st)
-        return st, new_n[None], new_start[None], stats.cmps[None]
+        return st, ext[None], new_n[None], new_start[None], stats.cmps[None]
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_state, P("shard"), P("shard"), P("shard"), P("shard")),
-        out_specs=(spec_state, P("shard"), P("shard"), P("shard")),
+        in_specs=(spec_state, P("shard"), P("shard"), P("shard"),
+                  P("shard"), P("shard"), P("shard")),
+        out_specs=(spec_state, P("shard"), P("shard"), P("shard"), P("shard")),
         check_vma=False,
-    )(stacked, ns, starts, batch, row_valid)
+    )(stacked, ext, ns, starts, batch, row_valid, row_ext)
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "n_chunks"))
+def _sharded_delete(mesh, stacked, dead, config, n_chunks: int = 4):
+    """Shard-local IP-DiskANN delete: mark + repair every referencing row +
+    drop.  dead: [n_shards, D] local slot ids (-1 pad)."""
+    from diskann_tpu.graph.delete import (
+        drop_deleted_rows, mark_deleted, patch_rows, rows_referencing_deleted,
+    )
+
+    def local(st, dead):
+        st = jax.tree.map(lambda a: a[0], st)
+        st = mark_deleted(st, dead[0])
+        cap = st.capacity
+        aff = rows_referencing_deleted(st)
+        rows = jnp.where(aff, jnp.arange(cap, dtype=jnp.int32), -1)
+        chunk = -(-cap // n_chunks)
+        pad = n_chunks * chunk - cap
+        rows = jnp.pad(rows, (0, pad), constant_values=-1)
+
+        def step(i, s):
+            seg = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
+            return patch_rows(s, seg, config)
+
+        st = jax.lax.fori_loop(0, n_chunks, step, st)
+        st = drop_deleted_rows(st)
+        return jax.tree.map(lambda a: a[None], st)
+
+    spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_state, P("shard")),
+        out_specs=spec_state,
+        check_vma=False,
+    )(stacked, dead)
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "dp"))
@@ -168,22 +231,22 @@ def _packed_structure(proj, pscale, pbias2, stacked, config, dp):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "config", "cap_per_shard", "k", "l_search"),
+    static_argnames=("mesh", "config", "k", "l_search"),
 )
 def _sharded_search_packed(
-    mesh, stacked, packed, ns, starts, queries,
-    *, config, cap_per_shard, k, l_search,
+    mesh, stacked, packed, ext, ns, starts, queries,
+    *, config, k, l_search,
 ):
     """Packed (int8 fat-row) traversal per shard + local full-precision
-    rerank, then one all_gather + merge over the mesh — the single-chip
-    production search at pod scale."""
+    rerank, then one all_gather + dedup merge over the mesh — the
+    single-chip production search at pod scale."""
     from diskann_tpu.graph.scorers import packed_scorer
     from diskann_tpu.graph.search import beam_search_scored
 
-    def local(st, p, n, start, q):
+    def local(st, p, ext, n, start, q):
         st = jax.tree.map(lambda a: a[0], st)
         p = jax.tree.map(lambda a: a[0], p)
-        n, start = n[0], start[0]
+        ext, n, start = ext[0], n[0], start[0]
         sdef, sdata = packed_scorer(p, config.metric)
         res = beam_search_scored(
             sdef, sdata, st.adjacency, start, q,
@@ -202,29 +265,30 @@ def _sharded_search_packed(
         dd = jnp.where((res.ids >= 0) & st.valid[safe], dd, jnp.inf)
         dd, ii = jax.lax.sort((dd, jnp.where(res.ids >= 0, res.ids, -1)),
                               dimension=-1, num_keys=1)
-        shard = jax.lax.axis_index("shard")
-        gids = jnp.where(ii >= 0, ii + shard * cap_per_shard, -1)
+        eids = jnp.where(ii >= 0, ext[jnp.clip(ii, 0, cap - 1)], -1)
         all_d = jax.lax.all_gather(dd[:, :k], "shard")
-        all_i = jax.lax.all_gather(gids[:, :k], "shard")
-        s, b, l = all_d.shape
-        md = jnp.transpose(all_d, (1, 0, 2)).reshape(b, s * l)
-        mi = jnp.transpose(all_i, (1, 0, 2)).reshape(b, s * l)
-        md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=1)
-        return md[:, :k], mi[:, :k], res.cmps
+        all_i = jax.lax.all_gather(eids[:, :k], "shard")
+        md, mi = _merge_topk_dedup(all_d, all_i, k)
+        return md, mi, res.cmps
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
     spec_packed = jax.tree.map(lambda _: P("shard"), packed)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_state, spec_packed, P("shard"), P("shard"), P()),
+        in_specs=(spec_state, spec_packed, P("shard"), P("shard"),
+                  P("shard"), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )(stacked, packed, ns, starts, queries)
+    )(stacked, packed, ext, ns, starts, queries)
 
 
 class ShardedGraphIndex:
-    """A Vamana index partitioned across the devices of a mesh."""
+    """A Vamana index partitioned across the devices of a mesh.
+
+    Vectors are addressed by EXTERNAL id (assigned at insert, returned by
+    `search`); one external id may be stored in several shards (overlap
+    routing), and deletes remove every copy."""
 
     def __init__(
         self,
@@ -240,41 +304,144 @@ class ShardedGraphIndex:
         self.config = config or GraphConfig()
         self.dim = dim
         self.cap_per_shard = cap_per_shard
-        shard_sharding = NamedSharding(mesh, P("shard"))
+        self.dtype = dtype
+        self._shard_sharding = NamedSharding(mesh, P("shard"))
         self.stacked = jax.device_put(
             _stacked_alloc(
                 self.n_shards, cap_per_shard, dim,
                 self.config.max_degree_with_slack, dtype,
             ),
-            shard_sharding,
+            self._shard_sharding,
         )
         self.ns = jax.device_put(
-            jnp.zeros((self.n_shards,), jnp.int32), shard_sharding
+            jnp.zeros((self.n_shards,), jnp.int32), self._shard_sharding
         )
         self.starts = jax.device_put(
-            jnp.full((self.n_shards, 1), -1, jnp.int32), shard_sharding
+            jnp.full((self.n_shards, 1), -1, jnp.int32), self._shard_sharding
         )
+        self.ext = jax.device_put(
+            jnp.full((self.n_shards, cap_per_shard), -1, jnp.int32),
+            self._shard_sharding,
+        )
+        self.next_ext = 0
+        # external id -> [(shard, slot), ...] (its copies under overlap)
+        self._loc: dict[int, list[tuple[int, int]]] = {}
+        self.n_deleted = 0
 
-    def insert(self, vectors: np.ndarray, assignments: np.ndarray | None = None):
-        """Insert vectors, routing each to a shard (round-robin by default;
-        pass k-means `assignments` for locality like `partition.rs:23`)."""
+    # ------------------------------------------------------------------ grow
+    def grow(self, new_cap_per_shard: int) -> None:
+        """Grow every shard's capacity (pad all stacked arrays)."""
+        extra = new_cap_per_shard - self.cap_per_shard
+        if extra <= 0:
+            return
+        st = self.stacked
+        self.stacked = jax.device_put(
+            GraphArrays(
+                vectors=jnp.pad(st.vectors, ((0, 0), (0, extra), (0, 0))),
+                sq_norms=jnp.pad(st.sq_norms, ((0, 0), (0, extra))),
+                adjacency=jnp.pad(
+                    st.adjacency, ((0, 0), (0, extra), (0, 0)),
+                    constant_values=-1,
+                ),
+                degrees=jnp.pad(st.degrees, ((0, 0), (0, extra))),
+                valid=jnp.pad(st.valid, ((0, 0), (0, extra))),
+                vec_sum=st.vec_sum,
+            ),
+            self._shard_sharding,
+        )
+        self.ext = jax.device_put(
+            jnp.pad(self.ext, ((0, 0), (0, extra)), constant_values=-1),
+            self._shard_sharding,
+        )
+        self.cap_per_shard = new_cap_per_shard
+        if self.packed is not None:
+            self.attach_packed(dp=int(self.packed.dp))
+
+    # ---------------------------------------------------------------- insert
+    def insert(
+        self,
+        vectors: np.ndarray,
+        assignments: np.ndarray | None = None,
+        *,
+        on_overflow: str = "grow",
+    ) -> np.ndarray:
+        """Insert vectors, routing each to one or more shards.
+
+        assignments: None (round-robin), [m] single-shard, or [m, overlap]
+        (each row's `overlap` nearest shards from `kmeans_partition` — the
+        reference's 2-way overlap, `partition.rs:23`).  Returns the external
+        ids assigned to the rows.  on_overflow: "grow" doubles shard
+        capacity; "error" raises — never silent loss."""
         vectors = np.asarray(vectors, np.float32)
         m = vectors.shape[0]
         if assignments is None:
-            assignments = np.arange(m) % self.n_shards
-        per = [np.nonzero(assignments == s)[0] for s in range(self.n_shards)]
+            assignments = (np.arange(m) + self.next_ext) % self.n_shards
+        assignments = np.asarray(assignments)
+        if assignments.ndim == 1:
+            assignments = assignments[:, None]
+        ext_ids = np.arange(self.next_ext, self.next_ext + m, dtype=np.int64)
+
+        per_rows: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for j in range(m):
+            for s in np.unique(assignments[j]):
+                if s >= 0:
+                    per_rows[int(s)].append(j)
+        ns_now = np.asarray(self.ns)
+        need = max(
+            (ns_now[s] + len(rows) for s, rows in enumerate(per_rows)),
+            default=0,
+        )
+        if need > self.cap_per_shard:
+            if on_overflow == "error":
+                raise ValueError(
+                    f"shard overflow: need {need} > cap {self.cap_per_shard}"
+                )
+            new_cap = max(int(need), self.cap_per_shard * 2)
+            self.grow(new_cap)
+
+        width = max((len(p) for p in per_rows), default=0)
+        if width == 0:
+            return ext_ids
+        batch = np.zeros((self.n_shards, width, self.dim), np.float32)
+        valid = np.zeros((self.n_shards, width), bool)
+        rext = np.full((self.n_shards, width), -1, np.int32)
+        for s, rows in enumerate(per_rows):
+            batch[s, : len(rows)] = vectors[rows]
+            valid[s, : len(rows)] = True
+            rext[s, : len(rows)] = ext_ids[rows]
+            for j, row in enumerate(rows):
+                self._loc.setdefault(int(ext_ids[row]), []).append(
+                    (s, int(ns_now[s]) + j)
+                )
+        self.stacked, self.ext, self.ns, self.starts, _ = _sharded_insert(
+            self.mesh, self.stacked, self.ext, self.ns, self.starts,
+            jnp.asarray(batch), jnp.asarray(valid), jnp.asarray(rext),
+            self.config,
+        )
+        self.next_ext += m
+        return ext_ids
+
+    # ---------------------------------------------------------------- delete
+    def delete(self, ext_ids) -> None:
+        """Delete by external id — every shard copy is removed and each
+        shard repairs its referencing rows locally (IP-DiskANN per shard)."""
+        ext_ids = np.asarray(ext_ids).ravel()
+        per: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for e in ext_ids:
+            for s, slot in self._loc.pop(int(e), []):
+                per[s].append(slot)
         width = max((len(p) for p in per), default=0)
         if width == 0:
             return
-        batch = np.zeros((self.n_shards, width, self.dim), np.float32)
-        valid = np.zeros((self.n_shards, width), bool)
-        for s, rows in enumerate(per):
-            batch[s, : len(rows)] = vectors[rows]
-            valid[s, : len(rows)] = True
-        self.stacked, self.ns, self.starts, _ = _sharded_insert(
-            self.mesh, self.stacked, self.ns, self.starts,
-            jnp.asarray(batch), jnp.asarray(valid), self.config,
+        dead = np.full((self.n_shards, width), -1, np.int32)
+        for s, slots in enumerate(per):
+            dead[s, : len(slots)] = slots
+        self.stacked = _sharded_delete(
+            self.mesh, self.stacked, jnp.asarray(dead), self.config
         )
+        self.n_deleted += len(ext_ids)
+        if self.packed is not None:
+            self.attach_packed(dp=int(self.packed.dp))
 
     def attach_packed(self, *, dp: int = 64, train_sample=None) -> None:
         """Build per-shard packed sector layouts (enables mode="packed"
@@ -307,26 +474,114 @@ class ShardedGraphIndex:
 
     packed = None
 
+    # ---------------------------------------------------------------- search
     def search(self, queries, k: int, *, l_search: int | None = None,
                mode: str = "full"):
+        """Returns (dists [B,k], EXTERNAL ids [B,k], cmps)."""
         queries = jnp.asarray(np.asarray(queries, np.float32))
         l = l_search or max(k, self.config.l_build)
         if mode == "packed":
             if self.packed is None:
                 self.attach_packed()
             d, i, cmps = _sharded_search_packed(
-                self.mesh, self.stacked, self.packed, self.ns, self.starts,
-                queries,
-                config=self.config, cap_per_shard=self.cap_per_shard,
-                k=k, l_search=l,
+                self.mesh, self.stacked, self.packed, self.ext, self.ns,
+                self.starts, queries,
+                config=self.config, k=k, l_search=l,
             )
         else:
             d, i, cmps = _sharded_search(
-                self.mesh, self.stacked, self.ns, self.starts, queries,
-                config=self.config, cap_per_shard=self.cap_per_shard,
-                k=k, l_search=l,
+                self.mesh, self.stacked, self.ext, self.ns, self.starts,
+                queries,
+                config=self.config, k=k, l_search=l,
             )
         return np.asarray(d), np.asarray(i), np.asarray(cmps)
+
+    # -------------------------------------------------------------- save/load
+    def save(self, path: str) -> None:
+        """Persist all shards + the external-id map (merged-index analogue of
+        `MergedVamanaIndexBuilder` output, `disk_index_writer.rs`)."""
+        from diskann_tpu.io_.record import save_record
+
+        cfg = self.config
+        save_record(
+            path,
+            kind="sharded_graph_index",
+            meta={
+                "n_shards": self.n_shards,
+                "dim": self.dim,
+                "cap_per_shard": self.cap_per_shard,
+                "next_ext": self.next_ext,
+                "n_deleted": self.n_deleted,
+                "loc": {str(k): v for k, v in self._loc.items()},
+                "config": {
+                    "max_degree": cfg.max_degree,
+                    "l_build": cfg.l_build,
+                    "alpha": cfg.alpha,
+                    "graph_slack_factor": cfg.graph_slack_factor,
+                    "max_occlusion_size": cfg.max_occlusion_size,
+                    "saturate_after_prune": cfg.saturate_after_prune,
+                    "metric": cfg.metric.value,
+                    "beam_width": cfg.beam_width,
+                },
+            },
+            arrays={
+                "vectors": np.asarray(self.stacked.vectors),
+                "sq_norms": np.asarray(self.stacked.sq_norms),
+                "adjacency": np.asarray(self.stacked.adjacency),
+                "degrees": np.asarray(self.stacked.degrees),
+                "valid": np.asarray(self.stacked.valid),
+                "vec_sum": np.asarray(self.stacked.vec_sum),
+                "ext": np.asarray(self.ext),
+                "ns": np.asarray(self.ns),
+                "starts": np.asarray(self.starts),
+            },
+        )
+
+    @classmethod
+    def load(cls, mesh: Mesh, path: str) -> "ShardedGraphIndex":
+        from diskann_tpu.io_.record import load_record
+
+        manifest, arrays = load_record(path)
+        meta = manifest["meta"]
+        if meta["n_shards"] != mesh.shape["shard"]:
+            raise ValueError(
+                f"record has {meta['n_shards']} shards, mesh has "
+                f"{mesh.shape['shard']}"
+            )
+        c = meta["config"]
+        cfg = GraphConfig(
+            max_degree=c["max_degree"],
+            l_build=c["l_build"],
+            alpha=c["alpha"],
+            graph_slack_factor=c["graph_slack_factor"],
+            max_occlusion_size=c["max_occlusion_size"],
+            saturate_after_prune=c["saturate_after_prune"],
+            metric=Metric(c["metric"]),
+            beam_width=c.get("beam_width", 1),
+        )
+        idx = cls(mesh, meta["dim"], cfg,
+                  cap_per_shard=meta["cap_per_shard"])
+        sh = idx._shard_sharding
+        idx.stacked = jax.device_put(
+            GraphArrays(
+                vectors=jnp.asarray(arrays["vectors"]),
+                sq_norms=jnp.asarray(arrays["sq_norms"]),
+                adjacency=jnp.asarray(arrays["adjacency"]),
+                degrees=jnp.asarray(arrays["degrees"]),
+                valid=jnp.asarray(arrays["valid"]),
+                vec_sum=jnp.asarray(arrays["vec_sum"]),
+            ),
+            sh,
+        )
+        idx.ext = jax.device_put(jnp.asarray(arrays["ext"]), sh)
+        idx.ns = jax.device_put(jnp.asarray(arrays["ns"]), sh)
+        idx.starts = jax.device_put(jnp.asarray(arrays["starts"]), sh)
+        idx.next_ext = meta["next_ext"]
+        idx.n_deleted = meta.get("n_deleted", 0)
+        idx._loc = {
+            int(k): [tuple(x) for x in v] for k, v in meta["loc"].items()
+        }
+        return idx
 
 
 def sharded_flat_search(

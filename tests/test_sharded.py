@@ -41,17 +41,9 @@ def test_sharded_graph_build_and_search(rng, mesh):
         idx.insert(x[off : off + 800], assign[off : off + 800])
 
     dists, gids, cmps = idx.search(q, k=10, l_search=40)
-    # map global ids back to original rows: shard s, local j -> row index
-    per = [np.nonzero(assign == s)[0] for s in range(idx.n_shards)]
-    back = {}
-    for s, rows in enumerate(per):
-        for j, row in enumerate(rows):
-            back[s * idx.cap_per_shard + j] = row
-    mapped = np.array(
-        [[back.get(int(g), -1) for g in row] for row in gids], np.int64
-    )
+    # search returns EXTERNAL ids == insertion order == original row index
     gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
-    r = knn_recall(mapped, gt_i, 10)
+    r = knn_recall(gids, gt_i, 10)
     assert r >= 0.9, r
 
 
@@ -119,14 +111,92 @@ def test_sharded_packed_search(rng, mesh):
     idx.attach_packed(dp=16, train_sample=x[:512])
 
     dists, gids, _ = idx.search(q, k=10, l_search=40, mode="packed")
-    per = [np.nonzero(assign == s)[0] for s in range(idx.n_shards)]
-    back = {}
-    for s, rows in enumerate(per):
-        for j, row in enumerate(rows):
-            back[s * idx.cap_per_shard + j] = row
-    mapped = np.array(
-        [[back.get(int(g), -1) for g in row] for row in gids], np.int64
-    )
     gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
-    r = knn_recall(mapped, gt_i, 10)
+    r = knn_recall(gids, gt_i, 10)
     assert r >= 0.9, r
+
+
+def _clustered(rng, n, d, nc=24, sigma=0.1):
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    a = rng.integers(0, nc, size=n)
+    x = centers[a] + sigma * rng.standard_normal((n, d)).astype(np.float32)
+    return x, centers
+
+
+def test_sharded_overlap2_dedup(rng, mesh):
+    """overlap=2 routing stores every vector in its 2 nearest shards; the
+    all-gather merge dedups by external id (`partition.rs:23` semantics)."""
+    from diskann_tpu.parallel.partition import kmeans_partition
+
+    n, d = 1200, 16
+    x, centers = _clustered(rng, n, d, nc=16, sigma=0.1)
+    _, assign = kmeans_partition(x, 8, overlap=2)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=1024)
+    ext = idx.insert(x, assign)
+    np.testing.assert_array_equal(ext, np.arange(n))
+    # each external id is stored in exactly 2 shards
+    assert all(len(v) == 2 for v in idx._loc.values())
+    q = centers[rng.integers(0, 16, size=40)] + 0.1 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+    dists, gids, _ = idx.search(q, k=10, l_search=40)
+    # merged results never contain a duplicated external id
+    for row in gids:
+        live = row[row >= 0]
+        assert len(np.unique(live)) == len(live)
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    assert knn_recall(gids, gt_i, 10) >= 0.9
+
+
+def test_sharded_overflow_grow_and_error(rng, mesh):
+    d = 8
+    x = rng.standard_normal((400, d)).astype(np.float32)
+    cfg = GraphConfig(max_degree=8, l_build=16)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=32)
+    with pytest.raises(ValueError, match="overflow"):
+        idx.insert(x, np.zeros(400, np.int64), on_overflow="error")
+    # default grows instead of dropping
+    idx2 = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=32)
+    ext = idx2.insert(x[:256], np.zeros(256, np.int64))
+    assert idx2.cap_per_shard >= 256
+    assert int(np.asarray(idx2.ns)[0]) == 256
+    _, gids, _ = idx2.search(x[:8] + 0.001, k=1, l_search=16)
+    assert (gids[:, 0] == np.arange(8)).all()
+
+
+def test_sharded_delete(rng, mesh):
+    n, d = 1200, 16
+    x, centers = _clustered(rng, n, d)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=512)
+    idx.insert(x)
+    dead = rng.choice(n, size=200, replace=False)
+    idx.delete(dead)
+    alive = np.setdiff1d(np.arange(n), dead)
+    q = x[alive[:40]] + 0.02
+    _, gids, _ = idx.search(q, k=10, l_search=48)
+    assert not np.isin(gids[gids >= 0], dead).any()
+    flat = FlatIndex(x[alive], Metric.L2)
+    _, gt_i = flat.search(q, k=10)
+    assert knn_recall(gids, alive[gt_i], 10) >= 0.85
+
+
+def test_sharded_save_load(tmp_path, rng, mesh):
+    n, d = 800, 16
+    x, centers = _clustered(rng, n, d)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=256)
+    idx.insert(x)
+    q = x[:24] + 0.01
+    want_d, want_i, _ = idx.search(q, k=10, l_search=40)
+    p = str(tmp_path / "sharded")
+    idx.save(p)
+    re = ShardedGraphIndex.load(mesh, p)
+    got_d, got_i, _ = re.search(q, k=10, l_search=40)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5)
+    # reloaded index keeps working for updates
+    more = rng.standard_normal((32, d)).astype(np.float32)
+    ext = re.insert(more)
+    assert ext[0] == n
