@@ -79,24 +79,50 @@ def main():
     q = np.asarray(q)
 
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
-    LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
-        f"sbs={sbs} (packed)")
-    t0 = time.time()
-    idx = GraphIndex.build(
-        np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=sbs,
-        build_mode="packed", packed_dp=64,
+    idx_cache = os.environ.get(
+        "BENCH_IDX_CACHE", f"/tmp/diskann_bench_idx_s0_{n}_{d}_R{r_deg}"
     )
-    build_s = time.time() - t0
-    pts_per_s = n / build_s
-    LOG(f"[bench] build: {build_s:.1f}s ({pts_per_s:.0f} pts/s)")
+    build_s = None
+    if os.environ.get("BENCH_SKIP_BUILD") == "1" and os.path.isdir(idx_cache):
+        LOG(f"[bench] loading cached index from {idx_cache}")
+        t0 = time.time()
+        idx = GraphIndex.load(idx_cache, search_batch_size=sbs)
+        LOG(f"[bench] index loaded in {time.time()-t0:.1f}s")
+    else:
+        LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
+            f"sbs={sbs} (packed)")
+        t0 = time.time()
+        idx = GraphIndex.build(
+            np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=sbs,
+            build_mode="packed", packed_dp=64,
+        )
+        build_s = time.time() - t0
+        pts_per_s = n / build_s
+        LOG(f"[bench] build: {build_s:.1f}s ({pts_per_s:.0f} pts/s)")
+        if os.environ.get("BENCH_SAVE_IDX") == "1":
+            t0 = time.time()
+            idx.save(idx_cache)
+            LOG(f"[bench] index saved to {idx_cache} "
+                f"({time.time()-t0:.1f}s)")
 
     qn = np.asarray(q)
+    rerank_l = int(os.environ.get("BENCH_RERANK", 0)) or None
+    max_hops = int(os.environ.get("BENCH_MAXHOPS", 0)) or None
+    l_sweep = tuple(
+        int(v) for v in os.environ.get(
+            "BENCH_LS", "40,60,80,90,100,120,140,200"
+        ).split(",")
+    )
     best = None
     sweep = []
-    for l in (40, 60, 80, 90, 100, 120, 140, 200):
-        idx.search(qn, k, l_search=l, mode=mode)  # compile at full batch shape
+    for l in l_sweep:
+        idx.search(qn, k, l_search=l, mode=mode, beam_width=w,
+                   rerank_l=rerank_l,
+                   max_hops=max_hops)  # compile at full batch shape
         t0 = time.time()
-        _, ids, stats = idx.search(qn, k, l_search=l, mode=mode)
+        _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
+                                   beam_width=w, rerank_l=rerank_l,
+                                   max_hops=max_hops)
         dt = time.time() - t0
         r = knn_recall(ids, gt, k)
         qps = nq / dt
@@ -125,8 +151,8 @@ def main():
         "extra": {
             "recall": recall,
             "config": note,
-            "build_s": round(build_s, 1),
-            "build_points_per_s": round(pts_per_s),
+            "build_s": round(build_s, 1) if build_s else None,
+            "build_points_per_s": round(n / build_s) if build_s else None,
             "n": n,
             "sweep": sweep,
         },
@@ -139,6 +165,12 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # degrade rather than report nothing
         LOG(f"[bench] FAILED at full scale: {type(e).__name__}: {e}")
+        # drop the exception's traceback BEFORE retrying: its frames pin
+        # the failed run's device buffers (the 1M index!) in HBM
+        del e
+        import gc
+
+        gc.collect()
         if os.environ.get("BENCH_RETRY") != "0":
             os.environ["BENCH_N"] = str(
                 max(int(os.environ.get("BENCH_N", 1_000_000)) // 4, 100_000)

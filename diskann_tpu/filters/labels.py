@@ -63,10 +63,16 @@ class LabelSet:
         return b
 
     def set_labels(self, ids: np.ndarray, labels_per_id: list[list[str]]):
-        rows = np.asarray(self.bits)[np.asarray(ids)] * 0
+        # grow the vocab FIRST (a mid-loop word-growth would outdate rows),
+        # then build the bit rows host-side at the final width — one device
+        # scatter, no device->host round trip
+        for ls in labels_per_id:
+            for l in ls:
+                self.add_label(l)
+        rows = np.zeros((len(labels_per_id), self.n_words), np.uint32)
         for j, ls in enumerate(labels_per_id):
             for l in ls:
-                b = self.add_label(l)
+                b = self.vocab[l]
                 rows[j, b // 32] |= np.uint32(1 << (b % 32))
         self.bits = self.bits.at[jnp.asarray(ids, jnp.int32)].set(
             jnp.asarray(rows), mode="drop"

@@ -34,6 +34,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.jit
+def _pack_outputs(fd, fi, cmps, hops):
+    """Pack (dists f32 [B,k], ids i32 [B,k], cmps [B], hops [B]) into ONE
+    [B, 2k+2] i32 array so a whole batch's results cross the host link in a
+    single fetch (each independent fetch pays the ~30ms relay RTT)."""
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(fd, jnp.int32),
+            fi,
+            cmps[:, None].astype(jnp.int32),
+            hops[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def _unpack_outputs(arr: np.ndarray, k: int):
+    fd = np.ascontiguousarray(arr[:, :k]).view(np.float32)
+    fi = arr[:, k : 2 * k]
+    cmps = arr[:, 2 * k]
+    hops = arr[:, 2 * k + 1]
+    return fd, fi, cmps, hops
+
+
 @partial(jax.jit, static_argnames=("metric", "k"))
 def _rerank(ids, queries, vectors, sq_norms, valid, metric: Metric, k: int):
     """Re-score candidate ids with full-precision distances, sort, filter
@@ -68,6 +92,33 @@ def _filter_deleted(dists, ids, valid, k: int):
     out_d = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_d, slot, dists)
     out_i = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_i, slot, ids)
     return out_d, out_i
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _member_scan(queries, member_ids, vectors, sq_norms, metric: Metric,
+                 k: int):
+    """Exact top-k over an explicit member set (-1 padded) — the
+    posting-list evaluation path for selective filtered queries."""
+    from diskann_tpu.ops.distance import distance_to_set, squared_norms as _sq
+
+    cap = vectors.shape[0]
+    ok = member_ids >= 0
+    safe = jnp.clip(member_ids, 0, cap - 1)
+    mv = vectors[safe]
+    msq = sq_norms[safe]
+    qsq = _sq(queries) if metric.needs_norms else None
+    d = distance_to_set(queries, mv, metric, x_sq_norms=msq, q_sq_norms=qsq)
+    d = jnp.where(ok[None, :], d, jnp.inf)
+    ids = jnp.broadcast_to(member_ids[None, :], d.shape)
+    d, ids = jax.lax.sort((d, ids), dimension=-1, num_keys=1)
+    kk = min(k, d.shape[1])
+    out_d = jnp.full((d.shape[0], k), jnp.inf, d.dtype).at[:, :kk].set(
+        d[:, :kk]
+    )
+    out_i = jnp.full((d.shape[0], k), -1, jnp.int32).at[:, :kk].set(
+        ids[:, :kk]
+    )
+    return out_d, jnp.where(jnp.isfinite(out_d), out_i, -1)
 
 
 @partial(jax.jit, static_argnames=("metric", "n_start"))
@@ -196,6 +247,28 @@ class GraphIndex:
             from diskann_tpu.graph import packed as packed_mod
 
             self.packed = packed_mod.grow_packed(self.packed, new_cap)
+        # grow any quantized attachments alongside (streaming adds encode
+        # into these rows incrementally — see service backfill)
+        extra = new_cap - cap
+        pad2 = lambda a: jnp.pad(a, ((0, extra), (0, 0)))
+        pad1 = lambda a, v=0.0: jnp.pad(a, (0, extra), constant_values=v)
+        if getattr(self, "pq", None) is not None:
+            self.pq_codes = pad2(self.pq_codes)
+        if getattr(self, "sq", None) is not None:
+            self.sq_codes = pad2(self.sq_codes)
+            self.sq_aux = pad1(self.sq_aux)
+        if getattr(self, "sph", None) is not None:
+            self.sph_words = pad2(self.sph_words)
+            self.sph_norms = pad1(self.sph_norms)
+            self.sph_cscale = pad1(self.sph_cscale)
+        if getattr(self, "mm", None) is not None:
+            self.mm_codes = pad2(self.mm_codes)
+            self.mm_lo = pad1(self.mm_lo)
+            self.mm_step = pad1(self.mm_step, 1.0)
+            self.mm_aux = pad1(self.mm_aux)
+        if getattr(self, "labels", None) is not None:
+            self.labels.bits = jnp.pad(self.labels.bits, ((0, extra), (0, 0)))
+            self.labels.capacity = new_cap
 
     _cached_start: jax.Array | None = None
     _auto_start: jax.Array | None = None
@@ -310,12 +383,26 @@ class GraphIndex:
         l_search: int | None = None,
         beam_width: int | None = None,
         mode: str = "full",
+        rerank_l: int | None = None,
+        max_hops: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
         """k-NN search. Returns (dists [B,k], ids [B,k], stats).
 
         mode="full": full-precision traversal (in-memory provider).
         mode="pq":   PQ-code traversal + full-precision rerank (the SSD-tier
-                     flow on HBM; requires `attach_pq`)."""
+                     flow on HBM; requires `attach_pq`).
+        rerank_l (quant modes): rerank only the top `rerank_l` traversal
+        candidates instead of all L — the HBM analogue of the disk tier's
+        io_limit (`disk_provider.rs:683-722`); the rerank gather is row-
+        issue-bound, so smaller budgets cut its cost proportionally.
+        max_hops: cap beam iterations (batch-level early termination — the
+        loop runs to the slowest query's convergence, so a cap just above
+        the mean trades tail-query recall for batch time; reference
+        analogue: io_limit early termination).
+
+        Batches are DISPATCHED first and fetched after (device dispatch is
+        async), and each batch's outputs cross the host link as one packed
+        array — per-batch fetch RTT is paid once, overlapped with compute."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -330,8 +417,8 @@ class GraphIndex:
         cmps = np.zeros((b,), np.int32)
         hops = np.zeros((b,), np.int32)
         start = self._start()
-        from diskann_tpu.trace import span as _span
 
+        pending = []
         for off in range(0, b, bs):
             q = queries[off : off + bs]
             m = q.shape[0]
@@ -339,10 +426,11 @@ class GraphIndex:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
             q_dev = jnp.asarray(q)
             rstart = self._router_starts(q_dev, mode)
-            if mode in ("pq", "sq", "packed", "spherical"):
-                fd, fi, res = self._quant_search_batch(
+            if mode in ("pq", "sq", "packed", "spherical", "minmax"):
+                packed_out = self._quant_search_batch(
                     q_dev, k, l, w, mode,
                     start=rstart if rstart is not None else start,
+                    rerank_l=rerank_l, max_hops=max_hops,
                 )
             elif mode == "full":
                 res = beam_search(
@@ -354,16 +442,22 @@ class GraphIndex:
                     metric=self.config.metric,
                     l_search=l,
                     beam_width=w,
-                    max_hops=self.config.max_hops,
+                    max_hops=max_hops or self.config.max_hops,
                     history_capacity=self.config.history_capacity(l),
                 )
                 fd, fi = _filter_deleted(res.dists, res.ids, self.state.valid, k)
+                packed_out = _pack_outputs(fd, fi, res.cmps, res.hops)
             else:
                 raise ValueError(f"unknown search mode {mode!r}")
-            out_d[off : off + m] = np.asarray(fd[:m])
-            out_i[off : off + m] = np.asarray(fi[:m])
-            cmps[off : off + m] = np.asarray(res.cmps[:m])
-            hops[off : off + m] = np.asarray(res.hops[:m])
+            pending.append((off, m, packed_out))
+
+        for off, m, packed_out in pending:
+            arr = np.asarray(packed_out)
+            fd, fi, cm, hp = _unpack_outputs(arr, k)
+            out_d[off : off + m] = fd[:m]
+            out_i[off : off + m] = fi[:m]
+            cmps[off : off + m] = cm[:m]
+            hops[off : off + m] = hp[:m]
         stats = SearchStats(
             cmps=cmps, hops=hops, result_count=(out_i >= 0).sum(axis=1)
         )
@@ -403,6 +497,28 @@ class GraphIndex:
         self.sq_codes = codes_i8
         self.sq_bias2 = bias2
         self.sq_aux = sq_aux_norms(codes_i8, sq.scale)
+
+    def attach_minmax(self) -> None:
+        """Encode all current vectors with the training-free per-vector
+        MinMax quantizer and enable `search(mode="minmax")` — the streaming-
+        workload quantizer (`diskann-quantization/src/minmax/quantizer.rs:69`
+        — no training pass, so new inserts can be encoded immediately)."""
+        from diskann_tpu.quant.minmax import MinMaxQuantizer
+
+        mm = MinMaxQuantizer()
+        self.mm = mm
+        cap = self.state.capacity
+        vecs = self.state.vectors[: self.n]
+        codes, lo, step = mm.encode(vecs)
+        codes_i8 = (codes.astype(jnp.int32) - 128).astype(jnp.int8)
+        dec = mm.decode(codes, lo, step)
+        aux = jnp.sum(dec * dec, axis=1)
+        self.mm_codes = jnp.zeros((cap, self.dim), jnp.int8).at[: self.n].set(
+            codes_i8
+        )
+        self.mm_lo = jnp.zeros((cap,), jnp.float32).at[: self.n].set(lo)
+        self.mm_step = jnp.ones((cap,), jnp.float32).at[: self.n].set(step)
+        self.mm_aux = jnp.zeros((cap,), jnp.float32).at[: self.n].set(aux)
 
     def attach_spherical(self, *, n_bits: int = 4, seed: int = 0) -> None:
         """Train a spherical (RaBitQ-style) quantizer and bit-pack all
@@ -459,17 +575,27 @@ class GraphIndex:
             p = packed_mod.refresh_rows_donated(p, self.state.adjacency, rows)
         self.packed = p
 
-    def _quant_search_batch(self, q, k, l, w, mode, start=None):
-        from diskann_tpu.graph.scorers import packed_scorer, pq_scorer, sq_scorer
-        from diskann_tpu.graph.search import beam_search_scored
+    def _scorer_for_mode(self, mode: str):
+        """(ScorerDef, scorer_data, expand_r) for a search mode — the
+        pluggable accessor boundary (`glue.rs:567` search_accessor)."""
+        from diskann_tpu.graph.scorers import (
+            full_precision_scorer, packed_scorer, pq_scorer, sq_scorer,
+        )
 
+        if mode == "full":
+            sdef, sdata = full_precision_scorer(
+                self.state.vectors, self.state.sq_norms, self.config.metric
+            )
+            return sdef, sdata, None
         if mode == "pq":
             sdef, sdata = pq_scorer(
                 self.pq_codes, self.pq.pivots, self.config.metric
             )
-        elif mode == "packed":
+            return sdef, sdata, None
+        if mode == "packed":
             sdef, sdata = packed_scorer(self.packed, self.config.metric)
-        elif mode == "spherical":
+            return sdef, sdata, self.packed.r_pack
+        if mode == "spherical":
             from diskann_tpu.graph.scorers import spherical_scorer
 
             sdef, sdata = spherical_scorer(
@@ -477,25 +603,49 @@ class GraphIndex:
                 self.sph.rotation, self.dim, int(self.sph.n_bits),
                 self.config.metric,
             )
-        else:
+            return sdef, sdata, None
+        if mode == "minmax":
+            from diskann_tpu.graph.scorers import minmax_scorer
+
+            sdef, sdata = minmax_scorer(
+                self.mm_codes, self.mm_lo, self.mm_step, self.mm_aux,
+                self.config.metric,
+            )
+            return sdef, sdata, None
+        if mode == "sq":
             sdef, sdata = sq_scorer(
                 self.sq_codes, self.sq.scale, self.sq_bias2, self.sq_aux,
                 self.config.metric,
             )
+            return sdef, sdata, None
+        raise ValueError(f"unknown search mode {mode!r}")
+
+    def _quant_search_batch(self, q, k, l, w, mode, start=None,
+                            rerank_l: int | None = None,
+                            max_hops: int | None = None):
+        from diskann_tpu.graph.search import beam_search_scored
+
+        sdef, sdata, _er = self._scorer_for_mode(mode)
         res = beam_search_scored(
             sdef, sdata, self.state.adjacency,
             start if start is not None else self._start(), q,
-            l_search=l, beam_width=w, max_hops=self.config.max_hops,
+            l_search=l, beam_width=w,
+            max_hops=max_hops or self.config.max_hops,
             history_capacity=self.config.history_capacity(l),
-            dedup="merge" if mode == "packed" else ("list" if w > 1 else "ring"),
+            # "list" beats "merge" at bench shape (8.1 vs 9.2 ms/iter,
+            # scripts/profile_prod.py); both are exact in results
+            dedup="list" if (mode == "packed" or w > 1) else "ring",
             expand_r=self.packed.r_pack if mode == "packed" else None,
         )
         # full-precision rerank of the top-L (RerankAndFilter,
-        # disk_provider.rs:292): one gather + one sort, then filter deleted
-        return _rerank(
-            res.ids, q, self.state.vectors, self.state.sq_norms,
+        # disk_provider.rs:292): one gather + one sort, then filter deleted.
+        # rerank_l budgets the gather (io_limit analogue).
+        rl = min(rerank_l, l) if rerank_l else l
+        fd, fi = _rerank(
+            res.ids[:, :rl], q, self.state.vectors, self.state.sq_norms,
             self.state.valid, self.config.metric, k,
-        ) + (res,)
+        )
+        return _pack_outputs(fd, fi, res.cmps, res.hops)
 
     # ---------------------------------------------------------------- filters
     def attach_labels(self, labels_per_point: list[list[str]]) -> None:
@@ -543,6 +693,44 @@ class GraphIndex:
             queries = queries[None]
         l0 = l_search if l_search is not None else max(k, self.config.l_build)
         w = beam_width if beam_width is not None else self.config.beam_width
+
+        # ---- selective-predicate escape hatch: exact posting-list scan ----
+        # Graph navigation only SEES matches it happens to walk past; at
+        # ~1% selectivity that loses most of the k.  The reference's
+        # label-filter crate keeps Roaring posting lists and evaluates
+        # selective predicates directly (`diskann-label-filter/src/kv_index/
+        # query_evaluator_impl.rs`); here the posting list is the compiled
+        # accept mask over all ids, and a small match set is scanned exactly.
+        if method in ("inline", "prefilter") and not getattr(
+            self, "_hbm_vectors_dropped", False
+        ):
+            cap = self.state.capacity
+            acc_all = accept_fn(
+                self.labels.bits,
+                jnp.arange(cap, dtype=jnp.int32),
+                self.state.valid,
+            ) & self.state.valid
+            cnt = int(jnp.sum(acc_all))
+            threshold = max(4 * l0, 512) if method == "inline" else cap
+            if cnt <= threshold:
+                members = np.nonzero(np.asarray(acc_all))[0]
+                pad = max(1 << int(np.ceil(np.log2(max(len(members), 1)))),
+                          64)
+                mem = np.full((pad,), -1, np.int32)
+                mem[: len(members)] = members
+                fd, fi = _member_scan(
+                    jnp.asarray(queries), jnp.asarray(mem),
+                    self.state.vectors, self.state.sq_norms,
+                    self.config.metric, k,
+                )
+                fd, fi = np.asarray(fd), np.asarray(fi)
+                b = queries.shape[0]
+                stats = SearchStats(
+                    cmps=np.full((b,), cnt, np.int32),
+                    hops=np.zeros((b,), np.int32),
+                    result_count=(fi >= 0).sum(axis=1),
+                )
+                return fd, fi, stats
 
         sdef, sdata = full_precision_scorer(
             self.state.vectors, self.state.sq_norms, self.config.metric
@@ -635,6 +823,7 @@ class GraphIndex:
         meta = {
             "n": n,
             "dim": self.dim,
+            "dtype": self.state.vectors.dtype.name,
             "n_deleted": self.n_deleted,
             "free_slots": list(map(int, self.free_slots)),
             "hbm_vectors_dropped": bool(
@@ -673,7 +862,16 @@ class GraphIndex:
             arrays["packed_pbias2"] = np.asarray(p.pbias2)
             arrays["packed_self_codes"] = np.asarray(p.self_codes[:n])
             arrays["packed_self_aux"] = np.asarray(p.self_aux[:n])
-            arrays["packed_rows"] = np.asarray(p.rows[: n * p.nwr])
+            # fetch the multi-GB word table in <=512MB slices: one big
+            # device slice would materialize a second copy next to the
+            # table and OOM HBM at 1M scale
+            total = n * p.nwr
+            host_rows = np.empty((total, 128), np.int32)
+            step = 1 << 20
+            for off in range(0, total, step):
+                end = min(off + step, total)
+                host_rows[off:end] = np.asarray(p.rows[off:end])
+            arrays["packed_rows"] = host_rows
         if getattr(self, "pq", None) is not None:
             arrays["pq_pivots"] = np.asarray(self.pq.pivots)
             arrays["pq_codes"] = np.asarray(self.pq_codes[:n])
@@ -690,6 +888,12 @@ class GraphIndex:
             arrays["sph_words"] = np.asarray(self.sph_words[:n])
             arrays["sph_norms"] = np.asarray(self.sph_norms[:n])
             arrays["sph_cscale"] = np.asarray(self.sph_cscale[:n])
+        if getattr(self, "mm", None) is not None:
+            meta["minmax"] = {"n_bits": int(self.mm.n_bits)}
+            arrays["mm_codes"] = np.asarray(self.mm_codes[:n])
+            arrays["mm_lo"] = np.asarray(self.mm_lo[:n])
+            arrays["mm_step"] = np.asarray(self.mm_step[:n])
+            arrays["mm_aux"] = np.asarray(self.mm_aux[:n])
         if getattr(self, "labels", None) is not None:
             meta["labels"] = {"vocab": self.labels.vocab}
             arrays["labels_bits"] = np.asarray(self.labels.bits[:n])
@@ -713,6 +917,7 @@ class GraphIndex:
             metric=Metric(c["metric"]),
             beam_width=c.get("beam_width", 1),
         )
+        kwargs.setdefault("dtype", jnp.dtype(meta.get("dtype", "float32")))
         idx = cls(meta["dim"], cfg, capacity=max(meta["n"], 1024), **kwargs)
         n = meta["n"]
         idx.n = n
@@ -759,9 +964,20 @@ class GraphIndex:
             rp, dp = pm["r_pack"], pm["dp"]
             nwr = packed_mod.n_wrows(rp, dp)
             rows = packed_mod._empty_rows(cap + 1, rp, dp)
-            rows = jax.lax.dynamic_update_slice(
-                rows, jnp.asarray(arrays["packed_rows"]), (0, 0)
+            # chunked donated updates: the table is multi-GB, a one-shot
+            # functional update would hold two copies in HBM
+            upd = jax.jit(
+                lambda r, c, o: jax.lax.dynamic_update_slice(
+                    r, c, (o, jnp.int32(0))
+                ),
+                donate_argnums=(0,),
             )
+            host_rows = arrays["packed_rows"]
+            step = 1 << 20
+            for off in range(0, host_rows.shape[0], step):
+                end = min(off + step, host_rows.shape[0])
+                rows = upd(rows, jnp.asarray(host_rows[off:end]),
+                           jnp.int32(off))
             idx.packed = packed_mod.PackedState(
                 proj=jnp.asarray(arrays["packed_proj"]),
                 pscale=jnp.asarray(arrays["packed_pscale"]),
@@ -813,6 +1029,22 @@ class GraphIndex:
             )
             idx.sph_cscale = jnp.zeros((cap,), jnp.float32).at[:n].set(
                 jnp.asarray(arrays["sph_cscale"])
+            )
+        if "minmax" in meta:
+            from diskann_tpu.quant.minmax import MinMaxQuantizer
+
+            idx.mm = MinMaxQuantizer(n_bits=meta["minmax"]["n_bits"])
+            idx.mm_codes = jnp.zeros((cap, idx.dim), jnp.int8).at[:n].set(
+                jnp.asarray(arrays["mm_codes"])
+            )
+            idx.mm_lo = jnp.zeros((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["mm_lo"])
+            )
+            idx.mm_step = jnp.ones((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["mm_step"])
+            )
+            idx.mm_aux = jnp.zeros((cap,), jnp.float32).at[:n].set(
+                jnp.asarray(arrays["mm_aux"])
             )
         if "labels" in meta:
             from diskann_tpu.filters import LabelSet

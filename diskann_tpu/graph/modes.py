@@ -5,16 +5,24 @@ References:
   radius search: a k-NN pass sized L, doubled while the result boundary
   still lies inside the radius.
 - Paged search: `diskann/src/graph/search/paged.rs:27-53` — pagination over
-  one logical result stream.  The reference resumes the scratch across
-  calls; here each page re-runs the (stateless, batched) search with a
-  larger L and slices the new window — same results, functional state.
+  one logical result stream.  The scratch (`ResumeState`) persists across
+  calls: each page DRAINS the returned entries from the best list and
+  resumes the beam loop, so page N costs only the incremental expansion —
+  the reference's `drain_best` + `search_internal` resume, functionally.
 - Diverse search: `diskann/src/graph/search/diverse_search.rs:104` — top-k
   constrained to at most `max_per_attribute` results sharing an attribute
-  value, greedily in distance order.
+  value, greedily in distance order.  Device formulation: an entry is kept
+  iff its rank among same-attribute candidates is < quota (the greedy scan
+  admits the first `quota` of every attribute), which is two sorts + a
+  segmented iota — no host loop.
 """
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -53,33 +61,128 @@ def range_search(
     return results
 
 
+@partial(jax.jit, static_argnames=())
+def _drain_state(state, drain_ids):
+    """Remove `drain_ids` from the best list (reference `drain_best`):
+    drained slots become (inf, -1, expanded) and one sort pushes them out,
+    freeing room for farther candidates on the next resume."""
+    from diskann_tpu.graph.search import ResumeState
+
+    hit = jnp.any(
+        state.best_i[:, :, None] == drain_ids[None, None, :], axis=-1
+    ) & (state.best_i >= 0)
+    bd = jnp.where(hit, jnp.inf, state.best_d)
+    bi = jnp.where(hit, -1, state.best_i)
+    be = jnp.where(hit, 1, state.best_exp)
+    bd, bi, be = jax.lax.sort((bd, bi, be), dimension=-1, num_keys=1)
+    return ResumeState(
+        best_d=bd, best_i=bi, best_exp=be, ring=state.ring,
+        cmps=state.cmps, hops=state.hops,
+    )
+
+
 class PagedSearch:
     """Resumable pagination over one query's result stream
-    (`PagedSearch::next_page`)."""
+    (`PagedSearch::next_page`, `paged.rs:27-53`): the search scratch
+    persists; each page drains what it returns and resumes the beam loop,
+    so page N costs only the incremental graph expansion (NOT a re-search
+    at larger L).  Pages are non-overlapping; within a page results are
+    distance-sorted (cross-page monotonicity is not guaranteed — same
+    contract as the reference)."""
 
-    def __init__(self, index, query, *, page_l_slack: int = 16, mode: str = "full"):
+    def __init__(self, index, query, *, l_search: int | None = None,
+                 mode: str = "full", page_l_slack: int = 16,
+                 reserve: int | None = None):
         self.index = index
         self.query = np.asarray(query, np.float32).reshape(1, -1)
-        self.returned = 0
-        self.slack = page_l_slack
         self.mode = mode
+        self.l = l_search or max(page_l_slack, index.config.l_build)
+        # reserve slots hold scored-but-outside-L candidates (the reference
+        # queue is auto-resizable, `queue.rs:174`); draining slides them
+        # into the active window so later pages keep streaming
+        self.reserve = 3 * self.l if reserve is None else reserve
         self.exhausted = False
+        self.state = None
+        self._served: set[int] = set()
+
+    def _run(self, resume):
+        from diskann_tpu.graph.search import beam_search_scored
+
+        idx = self.index
+        sdef, sdata, expand_r = idx._scorer_for_mode(self.mode)
+        res, st = beam_search_scored(
+            sdef, sdata, idx.state.adjacency, idx._start(),
+            jnp.asarray(self.query),
+            l_search=self.l, beam_width=idx.config.beam_width,
+            max_hops=idx.config.max_hops,
+            history_capacity=idx.config.history_capacity(self.l),
+            expand_r=expand_r,
+            resume_state=resume, return_state=True,
+            reserve=self.reserve,
+        )
+        self.state = st
+        return res
 
     def next_page(self, k: int):
         if self.exhausted:
             return np.empty(0, np.float32), np.empty(0, np.int64)
-        want = self.returned + k
-        l = want + self.slack
-        d, ids, _ = self.index.search(
-            self.query, k=want, l_search=l, mode=self.mode
-        )
-        page_d = d[0][self.returned : want]
-        page_i = ids[0][self.returned : want]
-        live = page_i >= 0
-        if not live.all():
+        res = self._run(self.state)
+        ids = np.asarray(res.ids[0])
+        dists = np.asarray(res.dists[0])
+        valid = np.asarray(self.index.state.valid)
+        ok = (ids >= 0) & valid[np.clip(ids, 0, len(valid) - 1)]
+        # the drain guarantees non-overlap; _served guards the edge where a
+        # drained id ages out of the ring and is re-discovered
+        ok &= ~np.isin(ids, np.fromiter(self._served, np.int64, len(self._served)))
+        take = np.nonzero(ok)[0][:k]
+        if len(take) == 0:
             self.exhausted = True
-        self.returned = want
-        return page_d[live], page_i[live].astype(np.int64)
+            return np.empty(0, np.float32), np.empty(0, np.int64)
+        page_i = ids[take]
+        page_d = dists[take]
+        self._served.update(int(i) for i in page_i)
+        pad = np.full((max(k, 1),), -1, np.int32)
+        pad[: len(page_i)] = page_i
+        self.state = _drain_state(self.state, jnp.asarray(pad))
+        return page_d.astype(np.float32), page_i.astype(np.int64)
+
+
+@partial(jax.jit, static_argnames=("k", "max_per_attribute"))
+def diverse_topk_device(dists, ids, attrs, k: int, max_per_attribute: int):
+    """Batched greedy diversity-constrained top-k, fully on device.
+
+    The greedy scan (`diverse_search.rs:104` / DiversePriorityQueue) admits
+    a candidate iff fewer than `max_per_attribute` earlier (closer)
+    candidates share its attribute — because the first `quota` of every
+    attribute are all admitted, "earlier admitted same-attr" equals
+    "earlier same-attr".  So: rank candidates within equal-attribute groups
+    (sort by (attr, position), segmented iota, invert the permutation),
+    mask rank >= quota, compact the keepers left.  Two small sorts + one
+    vmapped slot write — no host loop."""
+    b, l = ids.shape
+    cap = attrs.shape[0]
+    valid = ids >= 0
+    a = jnp.where(valid, attrs[jnp.clip(ids, 0, cap - 1)], jnp.int32(2**31 - 1))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    # group by attribute, order by position inside each group
+    ga, gp = jax.lax.sort((a, pos), dimension=-1, num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ga[:, 1:] != ga[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0), axis=1
+    )  # iota value at each group's start, via running max over starts
+    rank = pos - seg_start
+    # scatter ranks back to candidate order: sort (gp, rank) by position
+    _, rank = jax.lax.sort((gp, rank), dimension=-1, num_keys=1)
+    keep = valid & (rank < max_per_attribute)
+    slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    slot = jnp.where(keep & (slot < k), slot, k)
+    out_d = jnp.full((b, k), jnp.inf, dists.dtype)
+    out_i = jnp.full((b, k), -1, ids.dtype)
+    out_d = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_d, slot, dists)
+    out_i = jax.vmap(lambda o, p, v: o.at[p].set(v, mode="drop"))(out_i, slot, ids)
+    return out_d, out_i
 
 
 def diverse_topk(
@@ -89,27 +192,15 @@ def diverse_topk(
     k: int,
     max_per_attribute: int,
 ):
-    """Greedy diversity-constrained top-k (DiverseSearch semantics): walk the
-    sorted candidates, skip entries whose attribute quota is exhausted."""
-    b, l = ids.shape
-    out_d = np.full((b, k), np.inf, np.float32)
-    out_i = np.full((b, k), -1, np.int64)
-    for row in range(b):
-        counts: dict = {}
-        n = 0
-        for j in range(l):
-            pid = int(ids[row, j])
-            if pid < 0 or n >= k:
-                break
-            a = attrs[pid]
-            c = counts.get(a, 0)
-            if c >= max_per_attribute:
-                continue
-            counts[a] = c + 1
-            out_d[row, n] = dists[row, j]
-            out_i[row, n] = pid
-            n += 1
-    return out_d, out_i
+    """Host wrapper over the device kernel (kept for API compat; the scalar
+    oracle lives in tests/reference_impl.py)."""
+    od, oi = diverse_topk_device(
+        jnp.asarray(np.asarray(dists, np.float32)),
+        jnp.asarray(np.asarray(ids, np.int32)),
+        jnp.asarray(np.asarray(attrs, np.int32)),
+        k, max_per_attribute,
+    )
+    return np.asarray(od), np.asarray(oi).astype(np.int64)
 
 
 def search_diverse(
@@ -122,7 +213,8 @@ def search_diverse(
     l_search: int | None = None,
     mode: str = "full",
 ):
-    """Diversity-aware k-NN: over-fetch then apply the attribute quota."""
+    """Diversity-aware k-NN: over-fetch then apply the attribute quota on
+    device (one fused post-process after the batched search)."""
     l = l_search or max(4 * k, index.config.l_build)
     d, ids, stats = index.search(queries, k=l, l_search=l, mode=mode)
     od, oi = diverse_topk(d, ids, np.asarray(attrs), k, max_per_attribute)

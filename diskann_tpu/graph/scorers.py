@@ -205,6 +205,51 @@ def sq_scorer(codes_i8, scale, bias2, aux, metric: Metric):
     return _SQ_DEFS[metric], (codes_i8, scale, bias2, aux)
 
 
+# ---------------------------------------------------------------- minmax
+# Per-vector training-free quantization (`diskann-quantization/src/minmax/
+# quantizer.rs:69`): each row stores its own (lo, step) so no training pass
+# blocks a streaming insert.  Decoded dot folds into one contraction:
+# q . xhat = step * (q . c') + (lo + 128*step) * sum(q)  (c' centered int8).
+def _mm_prep(metric: Metric):
+    def prep(data, queries):
+        q = queries.astype(jnp.float32)
+        return (q, q.sum(axis=1), jnp.sum(q * q, axis=1))
+
+    return prep
+
+
+def _mm_score(metric: Metric):
+    def score(data, q_ctx, ids, valid):
+        codes_i8, lo, step, aux = data
+        q, qsum, qsq = q_ctx
+        n = codes_i8.shape[0]
+        safe = jnp.clip(jnp.where(valid, ids, 0), 0, n - 1)
+        c = codes_i8[safe].astype(jnp.float32)            # [B, C, d]
+        raw = jax.lax.dot_general(
+            q, c, (((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                  # [B, C]
+        st = step[safe]
+        off = lo[safe] + 128.0 * st
+        dot_qy = st * raw + off * qsum[:, None]
+        if metric == Metric.InnerProduct:
+            d = -dot_qy
+        else:
+            d = qsq[:, None] + aux[safe] - 2.0 * dot_qy
+        return jnp.where(valid, d, jnp.inf)
+
+    return score
+
+
+_MM_DEFS = {m: ScorerDef(f"mm:{m.value}", _mm_prep(m), _mm_score(m)) for m in Metric}
+
+
+def minmax_scorer(codes_i8, lo, step, aux, metric: Metric):
+    """MinMax-quantized scorer: int8 rows (4x less gather bandwidth than
+    f32) with per-row dequantization folded into the score formula."""
+    return _MM_DEFS[metric], (codes_i8, lo, step, aux)
+
+
 # -------------------------------------------------------------- spherical
 # Sub-byte (RaBitQ-style) traversal: candidates' bit-packed spherical codes
 # are gathered as uint32 words (1/2/4-bit codes cost 32/16/8 bytes per

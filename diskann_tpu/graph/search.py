@@ -90,6 +90,19 @@ class SearchResult(NamedTuple):
     match_i: jax.Array     # [B, Lm]
 
 
+class ResumeState(NamedTuple):
+    """Persistable search scratch (the reference's `SearchScratch`,
+    `graph/search/scratch.rs:31`): pass back via ``resume_state`` to continue
+    a search — the substrate of resumable paged search (`paged.rs:27-53`)."""
+
+    best_d: jax.Array      # [B, L]
+    best_i: jax.Array      # [B, L]
+    best_exp: jax.Array    # [B, L]
+    ring: jax.Array        # [B, H]
+    cmps: jax.Array        # [B]
+    hops: jax.Array        # [B]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -106,6 +119,8 @@ class SearchResult(NamedTuple):
         "filter_mode",
         "fused",
         "expand_r",
+        "return_state",
+        "reserve",
     ),
 )
 def beam_search_scored(
@@ -129,6 +144,9 @@ def beam_search_scored(
     fused: bool = False,       # opt-in fused Pallas hop kernel (see note)
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
     expand_r: int | None = None,   # scorer.expand slots/node if != adjacency R
+    resume_state: ResumeState | None = None,  # continue a prior search
+    return_state: bool = False,    # also return the final ResumeState
+    reserve: int = 0,  # extra list slots beyond the active L window
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
 
@@ -148,7 +166,13 @@ def beam_search_scored(
     r = adjacency.shape[1]
     s = start_ids.shape[-1]
     w = beam_width
-    l = l_search
+    # `reserve` extra slots ride along in the sorted list but sit OUTSIDE
+    # the active window: frontier selection and termination only consider
+    # the first l_search entries (the reference's auto-resizable queue +
+    # cursor-over-L, `neighbor/queue.rs:174-193` — the substrate that lets
+    # paged search drain results and keep streaming)
+    l = l_search + reserve
+    l_act = l_search
     c = w * (expand_r if expand_r is not None else r)
     # ring: one segment for start ids + ring_hops segments of C scored ids
     want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
@@ -214,6 +238,8 @@ def beam_search_scored(
         fused
         and dedup == "list"
         and accept_fn is None
+        and resume_state is None
+        and not return_state
         and n < (1 << 24)  # ids ride f32 matmuls exactly below 2^24
         and _os.environ.get("DISKANN_NO_FUSED") != "1"
     )
@@ -226,6 +252,17 @@ def beam_search_scored(
             record_pool=record_pool,
         )
 
+    if resume_state is not None:
+        # continue from a prior search's scratch (paged.rs resume semantics);
+        # the ring must keep its width for the compiled shapes to line up
+        assert resume_state.ring.shape[1] == h, (
+            "resume with identical l_search/beam_width/history settings"
+        )
+        init_d = resume_state.best_d
+        init_i = resume_state.best_i
+        init_exp = resume_state.best_exp
+        ring = resume_state.ring
+
     state = SearchState(
         best_d=init_d,
         best_i=init_i,
@@ -236,21 +273,25 @@ def beam_search_scored(
         pool_n=jnp.zeros((b,), jnp.int32),
         match_d=match_d,
         match_i=match_i,
-        cmps=svalid.astype(jnp.int32).sum(axis=1),
-        hops=jnp.zeros((b,), jnp.int32),
+        cmps=svalid.astype(jnp.int32).sum(axis=1)
+        if resume_state is None else resume_state.cmps,
+        hops=jnp.zeros((b,), jnp.int32)
+        if resume_state is None else resume_state.hops,
     )
 
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
 
+    active = pos_iota < l_act  # frontier/termination window (see `reserve`)
+
     def cond(carry):
         it, st = carry
-        unexp = (st.best_exp == 0) & (st.best_i >= 0)
+        unexp = (st.best_exp == 0) & (st.best_i >= 0) & active
         return (it < max_hops) & jnp.any(unexp)
 
     def body(carry):
         it, st = carry
         # ---- 1. frontier selection: W closest unexpanded per row ----
-        unexp = (st.best_exp == 0) & (st.best_i >= 0)
+        unexp = (st.best_exp == 0) & (st.best_i >= 0) & active
         rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1
         sel = unexp & (rank < w)
         # compact selected positions left with one small sort
@@ -441,7 +482,7 @@ def beam_search_scored(
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
-    return SearchResult(
+    out = SearchResult(
         dists=st.best_d,
         ids=st.best_i,
         cmps=st.cmps,
@@ -452,6 +493,12 @@ def beam_search_scored(
         match_d=st.match_d,
         match_i=st.match_i,
     )
+    if return_state:
+        return out, ResumeState(
+            best_d=st.best_d, best_i=st.best_i, best_exp=st.best_exp,
+            ring=st.ring, cmps=st.cmps, hops=st.hops,
+        )
+    return out
 
 
 def _fused_loop(

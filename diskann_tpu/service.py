@@ -2,8 +2,9 @@
 
 Replaces the surface the reference exports to the Garnet server over C FFI
 (`diskann-garnet/src/lib.rs:222-835`: create_index / drop_index / insert /
-remove / search_vector / search_element / set_attribute / card, serving the
-Redis `VADD`/`VSIM` vector-set commands).  Here the host is Python, so the
+remove / search_vector / search_element / continue_search / set_attribute /
+build_quant_table / backfill_quant_vectors / card, serving the Redis
+`VADD`/`VSIM` vector-set commands).  Here the host is Python, so the
 surface is a small in-process registry of named dynamic indexes with
 element-name <-> internal-id mapping and per-element attributes — the same
 contract a serving layer would bind to.
@@ -24,10 +25,16 @@ class VectorSet:
     """One named collection (the `VADD`/`VSIM` target)."""
 
     def __init__(self, dim: int, config: GraphConfig | None = None, **kw):
+        # small insert granularity: a single VADD pads to one minibatch, so
+        # the padding waste is bounded by this, not the bulk-build 1024
+        kw.setdefault("insert_batch_size", 64)
         self.index = GraphIndex(dim, config, **kw)
         self.name_to_id: dict[str, int] = {}
         self.id_to_name: dict[int, str] = {}
         self.attributes: dict[str, Any] = {}
+        self.quant_mode: str | None = None
+        self._cursors: dict[int, Any] = {}
+        self._next_cursor = 0
 
     # VADD
     def add(self, name: str, vector, attribute: Any = None) -> bool:
@@ -38,7 +45,27 @@ class VectorSet:
         self.id_to_name[int(iid)] = name
         if attribute is not None:
             self.attributes[name] = attribute
+        if self.quant_mode is not None:
+            self._encode_rows(np.asarray([iid]))
         return True
+
+    def add_batch(self, names, vectors, attributes=None) -> int:
+        """Batched VADD — the streaming-server fast path (one device
+        dispatch per minibatch instead of one per element)."""
+        vectors = np.asarray(vectors, np.float32)
+        fresh = [i for i, n in enumerate(names) if n not in self.name_to_id]
+        if not fresh:
+            return 0
+        ids = self.index.insert(vectors[fresh])
+        for j, i in enumerate(fresh):
+            name = names[i]
+            self.name_to_id[name] = int(ids[j])
+            self.id_to_name[int(ids[j])] = name
+            if attributes is not None and attributes[i] is not None:
+                self.attributes[name] = attributes[i]
+        if self.quant_mode is not None:
+            self._encode_rows(np.asarray(ids))
+        return len(fresh)
 
     # VREM
     def remove(self, name: str) -> bool:
@@ -50,10 +77,77 @@ class VectorSet:
         self.index.delete([iid])
         return True
 
+    # ------------------------------------------------------- dynamic quant
+    def build_quant_table(self, kind: str = "spherical", **kw) -> None:
+        """Train a quantizer over the CURRENT elements (reference
+        `build_quant_table`, `diskann-garnet/src/quantization.rs`): after
+        this, `backfill_quant_vectors` encodes existing rows and subsequent
+        adds are encoded incrementally, so searches can run quantized."""
+        if kind == "spherical":
+            self.index.attach_spherical(**kw)
+        elif kind == "sq":
+            self.index.attach_sq(**kw)
+        elif kind == "minmax":
+            self.index.attach_minmax(**kw)
+        else:
+            raise ValueError(f"unsupported quant kind {kind!r}")
+        self.quant_mode = kind
+
+    def backfill_quant_vectors(self) -> int:
+        """Re-encode every current element with the trained quantizer
+        (reference `backfill_quant_vectors`).  attach_* already encodes all
+        rows present at training time; this re-encodes to cover rows added
+        between training and backfill."""
+        if self.quant_mode is None:
+            raise ValueError("no quant table built")
+        ids = np.fromiter(self.id_to_name, np.int64, len(self.id_to_name))
+        self._encode_rows(ids)
+        return len(ids)
+
+    def _encode_rows(self, ids: np.ndarray) -> None:
+        """Incrementally encode rows `ids` into the attached quant arrays
+        (the fixed trained transform applies per row, so streaming adds
+        never retrain)."""
+        import jax.numpy as jnp
+
+        idx = self.index
+        ids_j = jnp.asarray(ids.astype(np.int32))
+        vecs = idx.state.vectors[ids_j]
+        if self.quant_mode == "spherical":
+            pc = idx.sph.pack(idx.sph.encode(vecs))
+            idx.sph_words = idx.sph_words.at[ids_j].set(pc.words)
+            idx.sph_norms = idx.sph_norms.at[ids_j].set(pc.norms)
+            idx.sph_cscale = idx.sph_cscale.at[ids_j].set(pc.cscale)
+        elif self.quant_mode == "sq":
+            from diskann_tpu.graph.scorers import sq_aux_norms, sq_center_codes
+
+            codes = idx.sq.encode(vecs)
+            ci8, _ = sq_center_codes(codes, idx.sq.scale, idx.sq.bias)
+            idx.sq_codes = idx.sq_codes.at[ids_j].set(ci8)
+            idx.sq_aux = idx.sq_aux.at[ids_j].set(
+                sq_aux_norms(ci8, idx.sq.scale)
+            )
+        elif self.quant_mode == "minmax":
+            codes, lo, step = idx.mm.encode(vecs)
+            ci8 = (codes.astype(jnp.int32) - 128).astype(jnp.int8)
+            dec = idx.mm.decode(codes, lo, step)
+            idx.mm_codes = idx.mm_codes.at[ids_j].set(ci8)
+            idx.mm_lo = idx.mm_lo.at[ids_j].set(lo)
+            idx.mm_step = idx.mm_step.at[ids_j].set(step)
+            idx.mm_aux = idx.mm_aux.at[ids_j].set(jnp.sum(dec * dec, axis=1))
+
+    # ------------------------------------------------------------- search
+    def _search_mode(self, mode: str | None) -> str:
+        if mode is not None:
+            return mode
+        return self.quant_mode or "full"
+
     # VSIM with a query vector
-    def search_vector(self, vector, k: int = 10, *, l_search: int | None = None):
+    def search_vector(self, vector, k: int = 10, *,
+                      l_search: int | None = None, mode: str | None = None):
         d, ids, _ = self.index.search(
-            np.asarray(vector, np.float32)[None], k=k, l_search=l_search
+            np.asarray(vector, np.float32)[None], k=k, l_search=l_search,
+            mode=self._search_mode(mode),
         )
         return [
             (self.id_to_name[int(i)], float(dd))
@@ -67,6 +161,40 @@ class VectorSet:
         vec = np.asarray(self.index.state.vectors[iid])
         out = self.search_vector(vec, k + 1, **kw)
         return [(n, d) for n, d in out if n != name][:k]
+
+    # paged search over the service contract (`lib.rs:752` continue_search)
+    def start_search(self, vector, page_size: int = 10, *,
+                     l_search: int | None = None) -> tuple[int, list]:
+        """Begin a resumable search; returns (cursor, first page)."""
+        from diskann_tpu.graph.modes import PagedSearch
+
+        pager = PagedSearch(
+            self.index, np.asarray(vector, np.float32),
+            l_search=l_search,
+        )
+        cursor = self._next_cursor
+        self._next_cursor += 1
+        self._cursors[cursor] = pager
+        return cursor, self.continue_search(cursor, page_size)
+
+    def continue_search(self, cursor: int, page_size: int = 10) -> list:
+        """Next page of a search started with `start_search`; an empty page
+        ends (and frees) the cursor — reference `continue_search`."""
+        pager = self._cursors.get(cursor)
+        if pager is None:
+            return []
+        d, ids = pager.next_page(page_size)
+        out = [
+            (self.id_to_name[int(i)], float(dd))
+            for i, dd in zip(ids, d)
+            if int(i) in self.id_to_name
+        ]
+        if len(ids) == 0:
+            self._cursors.pop(cursor, None)
+        return out
+
+    def end_search(self, cursor: int) -> bool:
+        return self._cursors.pop(cursor, None) is not None
 
     def set_attribute(self, name: str, attribute: Any) -> bool:
         if name not in self.name_to_id:

@@ -124,3 +124,65 @@ def test_multihop_filtered_search(rng):
     _, gi = flat.search(q, k=10)
     gt = hot_ids[gi]
     assert knn_recall(ids, gt, 10) >= 0.8
+
+
+def test_labelset_many_labels_yfcc_scale(rng):
+    """YFCC metadata carries hundreds of distinct labels — the bitset must
+    grow past its initial 128-bit word budget and stay queryable."""
+    from diskann_tpu.filters import LabelSet
+
+    n, n_labels = 600, 500
+    labels_per_point = [
+        [f"tag{t}" for t in rng.choice(n_labels, size=3, replace=False)]
+        for _ in range(n)
+    ]
+    ls = LabelSet.from_lists(labels_per_point, capacity=1024)
+    assert len(ls.vocab) == len({l for ll in labels_per_point for l in ll})
+    assert ls.bits.shape[1] >= -(-len(ls.vocab) // 32)
+    # spot-check membership both ways
+    for pid in (0, 17, 599):
+        for l in labels_per_point[pid]:
+            assert pid in ls.members(l)
+            assert bool(np.asarray(ls.test(l, jnp.asarray([pid]))).item())
+
+    # incremental set_labels with NEW labels triggers mid-call word growth
+    ls.set_labels(
+        np.array([600, 601]),
+        [[f"new{t}" for t in range(40)], ["tag0", "new0"]],
+    )
+    assert 600 in ls.members("new39")
+    assert 601 in ls.members("new0")
+    for l in labels_per_point[17]:
+        assert 17 in ls.members(l)  # old rows survive the growth
+
+
+def test_filtered_search_selective_predicate_adaptive_l(rng):
+    """Adaptive-L at ~1% selectivity (weak spot flagged in round 1): the
+    re-search at scaled L must recover matches the first pass misses."""
+    from diskann_tpu import GraphConfig, GraphIndex
+
+    n, d = 4000, 16
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 2
+    a = rng.integers(0, 32, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=1024)
+    rare = np.zeros(n, bool)
+    rare[rng.choice(n, size=n // 100, replace=False)] = True  # 1%
+    idx.attach_labels(
+        [["rare" if rare[i] else "common", f"g{i % 4}"] for i in range(n)]
+    )
+    q = x[rng.choice(n, size=16, replace=False)] + 0.02
+    fd, fi, stats = idx.search_filtered(q, "rare", k=5, l_search=32,
+                                        adaptive_l=True)
+    # the selective predicate takes the exact posting-list path: all 5
+    # found for every query, zero graph hops
+    found = (fi >= 0).sum(axis=1)
+    assert (found == 5).all(), found
+    assert (stats.hops == 0).all()
+    # the non-selective label still navigates the graph
+    _, ci, cstats = idx.search_filtered(q, "common", k=5, l_search=32)
+    assert (ci >= 0).all() and (cstats.hops > 0).all()
+    # returned ids really match the predicate
+    ok = fi[fi >= 0]
+    assert rare[ok].all()

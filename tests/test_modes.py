@@ -37,15 +37,88 @@ def test_range_search(built):
 def test_paged_search(built):
     x, idx, rng = built
     q = x[10] + 0.01
-    pager = PagedSearch(idx, q)
+    pager = PagedSearch(idx, q, l_search=26)
     p1_d, p1 = pager.next_page(5)
     p2_d, p2 = pager.next_page(5)
     assert len(p1) == 5 and len(p2) == 5
     assert not set(p1.tolist()) & set(p2.tolist())  # disjoint pages
-    # pages together = one search of k=10
+    # pages together = one search of k=10 at the same L
     _, ids, _ = idx.search(q, k=10, l_search=26)
     assert list(p1) + list(p2) == [int(i) for i in ids[0]]
     assert (np.diff(np.concatenate([p1_d, p2_d])) >= -1e-6).all()
+
+
+def test_paged_search_resumes_incrementally(built):
+    """Page N must RESUME the scratch (`paged.rs:27-53`), not re-search:
+    after the first page converges, later pages only pay incremental
+    expansion — observable as a small cmps delta and as pages reaching
+    BEYOND the first converged list."""
+    x, idx, rng = built
+    q = x[33] + 0.01
+    pager = PagedSearch(idx, q, l_search=16)
+    seen = []
+    pages = 0
+    while pages < 12:
+        _, pi = pager.next_page(8)
+        if len(pi) == 0:
+            break
+        assert not set(pi.tolist()) & set(seen)
+        seen.extend(int(i) for i in pi)
+        pages += 1
+    # 12 pages x 8 = 96 > L=16: pagination reached far beyond one list
+    assert len(seen) > 16
+    cmps_total = int(np.asarray(pager.state.cmps)[0])
+    # a from-scratch search at the equivalent L would pay ~pages x that;
+    # the resumed stream shares one walk (hops accumulate, start cost once)
+    assert cmps_total < pages * 1200 / 2, cmps_total
+
+
+def test_diverse_topk_device_matches_scalar_oracle(built):
+    from diskann_tpu.graph.modes import diverse_topk
+
+    rng = np.random.default_rng(3)
+    b, l, k, quota = 6, 40, 8, 2
+    dists = np.sort(rng.random((b, l)).astype(np.float32), axis=1)
+    ids = np.stack([
+        rng.choice(500, size=l, replace=False) for _ in range(b)
+    ]).astype(np.int32)
+    ids[:, -5:] = -1
+    dists[:, -5:] = np.inf
+    attrs = rng.integers(0, 7, size=512).astype(np.int32)
+
+    def oracle(dists, ids):
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int64)
+        for row in range(b):
+            counts, n = {}, 0
+            for j in range(l):
+                pid = int(ids[row, j])
+                if pid < 0 or n >= k:
+                    break
+                a = attrs[pid]
+                if counts.get(a, 0) >= quota:
+                    continue
+                counts[a] = counts.get(a, 0) + 1
+                out_d[row, n] = dists[row, j]
+                out_i[row, n] = pid
+                n += 1
+        return out_d, out_i
+
+    want_d, want_i = oracle(dists, ids)
+    got_d, got_i = diverse_topk(dists, ids, attrs, k, quota)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d)
+
+
+def test_minmax_search_mode(built):
+    x, idx, rng = built
+    idx.attach_minmax()
+    q = x[:40] + 0.01
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    from diskann_tpu.bench.recall import knn_recall
+
+    _, ids, _ = idx.search(q, k=10, l_search=48, mode="minmax")
+    assert knn_recall(ids, gt_i, 10) >= 0.9
 
 
 def test_diverse_search(built):

@@ -37,3 +37,56 @@ def test_vector_set_lifecycle(rng):
 
     assert svc.drop_index("products")
     assert not svc.drop_index("products")
+
+
+def test_service_continue_search(rng):
+    svc = VectorService()
+    vs = svc.create_index("pg", 12, max_degree=8, l_build=16,
+                          insert_batch_size=64)
+    names = [f"e{i}" for i in range(120)]
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    assert vs.add_batch(names, vecs) == 120
+    q = vecs[5] + 0.001
+    cursor, page1 = vs.start_search(q, page_size=6, l_search=16)
+    assert page1[0][0] == "e5" and len(page1) == 6
+    page2 = vs.continue_search(cursor, 6)
+    assert len(page2) == 6
+    # pages are disjoint (`continue_search` contract, lib.rs:752)
+    assert not {n for n, _ in page1} & {n for n, _ in page2}
+    assert vs.end_search(cursor)
+    assert vs.continue_search(cursor, 6) == []  # freed
+
+
+def test_service_quant_backfill(rng):
+    """full -> quantized transition (`diskann-garnet/src/quantization.rs`):
+    train on current elements, backfill, then adds encode incrementally and
+    searches run quantized by default."""
+    svc = VectorService()
+    vs = svc.create_index("qz", 16, max_degree=8, l_build=16,
+                          insert_batch_size=64)
+    names = [f"a{i}" for i in range(150)]
+    vecs = rng.standard_normal((150, 16)).astype(np.float32)
+    vs.add_batch(names, vecs)
+    vs.build_quant_table("sq")
+    assert vs.backfill_quant_vectors() == 150
+    # streaming adds after the table exists are encoded incrementally
+    more = rng.standard_normal((30, 16)).astype(np.float32)
+    vs.add_batch([f"b{i}" for i in range(30)], more)
+    hit = vs.search_vector(more[3] + 0.0005, k=3, l_search=24)
+    assert hit[0][0] == "b3"
+    # explicit full-precision search still available
+    hit_full = vs.search_vector(more[3] + 0.0005, k=3, l_search=24,
+                                mode="full")
+    assert hit_full[0][0] == "b3"
+
+
+def test_service_minmax_streaming(rng):
+    svc = VectorService()
+    vs = svc.create_index("mm", 12, max_degree=8, l_build=16,
+                          insert_batch_size=64)
+    vecs = rng.standard_normal((100, 12)).astype(np.float32)
+    vs.add_batch([f"x{i}" for i in range(100)], vecs)
+    vs.build_quant_table("minmax")
+    vs.add("fresh", vecs[0] * 0.5 + 0.1)
+    got = vs.search_vector(vecs[0] * 0.5 + 0.1, k=1, l_search=20)
+    assert got[0][0] == "fresh"
