@@ -74,8 +74,13 @@ def main():
         np.save(gt_cache, gt)
         del flat
     # drop the device-resident dataset before the build: the 1M build's
-    # peak (donated state + word-append slices) needs the HBM
-    x = np.asarray(x)
+    # peak (donated state + word-append slices) needs the HBM.  When the
+    # build is skipped, x is never needed on host — and the 512MB fetch
+    # over the relay costs minutes.
+    if os.environ.get("BENCH_SKIP_BUILD") == "1":
+        x = None
+    else:
+        x = np.asarray(x)
     q = np.asarray(q)
 
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
@@ -91,6 +96,11 @@ def main():
     else:
         LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
             f"sbs={sbs} (packed)")
+        if x is None:  # SKIP_BUILD requested but no cache present
+            x = np.asarray(
+                make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35,
+                               device=True)[0]
+            )
         t0 = time.time()
         idx = GraphIndex.build(
             np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=sbs,

@@ -203,6 +203,90 @@ def diverse_topk(
     return np.asarray(od), np.asarray(oi).astype(np.int64)
 
 
+@partial(jax.jit, static_argnames=("k", "power", "eta"))
+def determinant_diversity_device(cand_vecs, cand_d, valid, k: int,
+                                 power: float = 1.0, eta: float = 0.0):
+    """Batched Determinant-Diversity rerank (`diskann-providers/src/model/
+    graph/provider/determinant_diversity.rs`): greedily maximize
+    det(X_S X_S^T + eta I) over size-k subsets of relevance-scaled
+    candidates via pivoted Gram-Schmidt.
+
+    Per iteration: pick the residual with the largest norm, deflate the
+    rest against it (one [B, C, d] x [B, d] contraction per step — the
+    reference's O(n*k*dim) loop becomes k MXU contractions).
+
+    Returns positions [B, k] into the candidate axis (-1 = none), in
+    selection (pivot) order."""
+    b, c, d = cand_vecs.shape
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    dmasked = jnp.where(valid, cand_d, -jnp.inf)
+    dmax = jnp.max(dmasked, axis=1, keepdims=True)
+    dmin = jnp.min(jnp.where(valid, cand_d, jnp.inf), axis=1, keepdims=True)
+    span = jnp.maximum(dmax - dmin, eps)
+    sim = jnp.maximum((dmax - cand_d) / span, 0.0) + eps
+    inv_sqrt_eta = 1.0 / np.sqrt(eta) if eta > 0.0 else 1.0
+    alpha = (sim ** power) * jnp.float32(inv_sqrt_eta)
+    r = jnp.where(valid[:, :, None], cand_vecs.astype(jnp.float32)
+                  * alpha[:, :, None], 0.0)
+    norms = jnp.sum(r * r, axis=-1)                              # [B, C]
+    rows = jnp.arange(b)
+
+    def step(t, carry):
+        r, norms, avail, selected = carry
+        masked = jnp.where(avail, norms, -jnp.inf)
+        piv = jnp.argmax(masked, axis=1)                          # [B]
+        has = jnp.take_along_axis(masked, piv[:, None], 1)[:, 0] > -jnp.inf
+        selected = selected.at[:, t].set(
+            jnp.where(has, piv, -1).astype(jnp.int32)
+        )
+        avail = jax.vmap(
+            lambda a, p, h: a.at[jnp.where(h, p, c)].set(False, mode="drop")
+        )(avail, piv, has)
+        rstar = jnp.take_along_axis(r, piv[:, None, None], 1)[:, 0]  # [B, d]
+        bn = jnp.take_along_axis(norms, piv[:, None], 1)[:, 0]
+        inv = jnp.where(bn > 0.0, 1.0 / bn, 0.0)  # zero pivot: skip deflation
+        proj = jnp.einsum("bcd,bd->bc", r, rstar) * inv[:, None]
+        proj = jnp.where(avail, proj, 0.0)
+        r = r - proj[:, :, None] * rstar[:, None, :]
+        norms = jnp.maximum(norms - proj * proj * bn[:, None], 0.0)
+        return r, norms, avail, selected
+
+    selected0 = jnp.full((b, k), -1, jnp.int32)
+    _, _, _, selected = jax.lax.fori_loop(
+        0, min(k, c), step, (r, norms, valid, selected0)
+    )
+    return selected
+
+
+def determinant_rerank(
+    index,
+    queries,
+    k: int = 10,
+    *,
+    l_search: int | None = None,
+    power: float = 1.0,
+    eta: float = 0.0,
+    mode: str = "full",
+):
+    """Diversity-promoting rerank: over-fetch L candidates, then apply the
+    determinant-diversity post-processor on device.  Returns (dists, ids,
+    stats) with ids in selection order (relevance-scaled diverse set)."""
+    l = l_search or max(4 * k, index.config.l_build)
+    d, ids, stats = index.search(queries, k=l, l_search=l, mode=mode)
+    cap = index.state.capacity
+    idsj = jnp.asarray(ids.astype(np.int32))
+    valid = idsj >= 0
+    vecs = index.state.vectors[jnp.clip(idsj, 0, cap - 1)].astype(jnp.float32)
+    sel = determinant_diversity_device(
+        vecs, jnp.asarray(d), valid, k, power=power, eta=eta
+    )
+    sel = np.asarray(sel)
+    take = np.clip(sel, 0, ids.shape[1] - 1)
+    out_i = np.where(sel >= 0, np.take_along_axis(ids, take, 1), -1)
+    out_d = np.where(sel >= 0, np.take_along_axis(d, take, 1), np.inf)
+    return out_d, out_i, stats
+
+
 def search_diverse(
     index,
     queries,
