@@ -92,7 +92,10 @@ def _occlude_scan(
     sel_pos = jnp.full((b, degree), c, dtype=jnp.int32)
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
 
-    kk = max(min(8, degree, c), 1)  # promotions examined per step
+    kk = max(min(16, degree, c), 1)  # promotions examined per step: wider
+    # steps halve while_loop iterations (each pays the fixed scheduling
+    # cost + one [B, K, C] contraction); the K x K in-register scan stays
+    # exact for any K (prefix-consistent promotion, see module doc)
 
     def rung(alpha, occ, selected, found, sel_pos):
         alpha_f = jnp.float32(alpha)
@@ -106,10 +109,11 @@ def _occlude_scan(
             occ, selected, found, sel_pos = carry
             room = jnp.minimum(degree - found, kk)                    # [B]
             eligible = (occ <= alpha_f) & ~selected & valid & (found[:, None] < degree)
-            # first K eligible positions per row (ascending; c = none)
-            pos_k = jax.lax.sort(
-                jnp.where(eligible, pos_iota, c), dimension=-1
-            )[:, :kk]                                                 # [B, K]
+            # first K eligible positions per row (ascending; c = none) —
+            # exact partial selection via top_k of negated positions (a full
+            # [B, C] sort costs ~log^2 C comparator passes; top_k is one)
+            neg_k, _ = jax.lax.top_k(jnp.where(eligible, -pos_iota, -c), kk)
+            pos_k = -neg_k                                            # [B, K]
             k_live = (pos_k < c) & (
                 jax.lax.broadcasted_iota(jnp.int32, (b, kk), 1) < room[:, None]
             )
