@@ -41,6 +41,7 @@ def main():
     mode = os.environ.get("BENCH_MODE", "packed")
     r_deg = int(os.environ.get("BENCH_R", 64))
     w = int(os.environ.get("BENCH_W", 4))
+    sw = int(os.environ.get("BENCH_SW", 0)) or w  # search beam width
     sbs = int(os.environ.get("BENCH_SBS", 8192))
     d = 128
     k = 10
@@ -84,8 +85,11 @@ def main():
     q = np.asarray(q)
 
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
+    # cache key includes every data-generation parameter (like the GT cache):
+    # a stale index built from a different distribution reports garbage recall
     idx_cache = os.environ.get(
-        "BENCH_IDX_CACHE", f"/tmp/diskann_bench_idx_s0_{n}_{d}_R{r_deg}"
+        "BENCH_IDX_CACHE",
+        f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{n}_{d}_R{r_deg}",
     )
     build_s = None
     if os.environ.get("BENCH_SKIP_BUILD") == "1" and os.path.isdir(idx_cache):
@@ -117,22 +121,28 @@ def main():
 
     qn = np.asarray(q)
     rerank_l = int(os.environ.get("BENCH_RERANK", 0)) or None
-    max_hops = int(os.environ.get("BENCH_MAXHOPS", 0)) or None
+    # hop cap: measured on the 1M bench index, hops saturate recall by ~14
+    # hops at W=4 (free-running converges at ~91 hops for +0.000 recall);
+    # capping cuts the ~0.5ms/iteration loop overhead (20.1k -> 30.2k QPS
+    # at recall 0.985, /tmp/r2_qps2.log).  BENCH_MAXHOPS=-1 disables.
+    max_hops = int(os.environ.get("BENCH_MAXHOPS", 14))
+    max_hops = None if max_hops <= 0 else max_hops
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     l_sweep = tuple(
         int(v) for v in os.environ.get(
-            "BENCH_LS", "40,60,80,90,100,120,140,200"
+            "BENCH_LS", "90,100,120,140,160,200"
         ).split(",")
     )
     best = None
     sweep = []
     for l in l_sweep:
-        idx.search(qn, k, l_search=l, mode=mode, beam_width=w,
-                   rerank_l=rerank_l,
+        idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
+                   rerank_l=rerank_l, fused=fused,
                    max_hops=max_hops)  # compile at full batch shape
         t0 = time.time()
         _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
-                                   beam_width=w, rerank_l=rerank_l,
-                                   max_hops=max_hops)
+                                   beam_width=sw, rerank_l=rerank_l,
+                                   max_hops=max_hops, fused=fused)
         dt = time.time() - t0
         r = knn_recall(ids, gt, k)
         qps = nq / dt

@@ -385,6 +385,7 @@ class GraphIndex:
         mode: str = "full",
         rerank_l: int | None = None,
         max_hops: int | None = None,
+        fused: bool = False,
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
         """k-NN search. Returns (dists [B,k], ids [B,k], stats).
 
@@ -430,7 +431,7 @@ class GraphIndex:
                 packed_out = self._quant_search_batch(
                     q_dev, k, l, w, mode,
                     start=rstart if rstart is not None else start,
-                    rerank_l=rerank_l, max_hops=max_hops,
+                    rerank_l=rerank_l, max_hops=max_hops, fused=fused,
                 )
             elif mode == "full":
                 res = beam_search(
@@ -622,7 +623,8 @@ class GraphIndex:
 
     def _quant_search_batch(self, q, k, l, w, mode, start=None,
                             rerank_l: int | None = None,
-                            max_hops: int | None = None):
+                            max_hops: int | None = None,
+                            fused: bool = False):
         from diskann_tpu.graph.search import beam_search_scored
 
         sdef, sdata, _er = self._scorer_for_mode(mode)
@@ -636,6 +638,7 @@ class GraphIndex:
             # scripts/profile_prod.py); both are exact in results
             dedup="list" if (mode == "packed" or w > 1) else "ring",
             expand_r=self.packed.r_pack if mode == "packed" else None,
+            fused=fused,
         )
         # full-precision rerank of the top-L (RerankAndFilter,
         # disk_provider.rs:292): one gather + one sort, then filter deleted.

@@ -320,12 +320,18 @@ set_self_codes_donated = jax.jit(set_self_codes, donate_argnums=(0,))
 def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     """Splice src's (id, aux, code) into (tgt, slot) — the backedge fast path.
 
-    Three (row, col) scalar/affine word scatters into the int32 table:
-    the id of slot s is word (t*nwr + s//128, s%128); its aux word sits
-    idw rows later; its dp/4 code words start at word-row 2*idw +
-    (s*dpw)//128, col (s*dpw)%128 (dpw divides 128, so no straddling).
-    Measured ~200ms per 512k edges on v5e, fully in place under donation
-    (vs 4s for byte-column scatters on an int8 table)."""
+    Three FLAT affine int32-word scatters on `rows.reshape(-1)`: 2-D
+    (row, col) scatters with data-dependent columns serialize (~175ns/word,
+    1.65s per 512k-edge batch measured in profile_build), while flat affine
+    word scatters run ~10-30ns/word (the [E,16] case in 87ms; CLAUDE.md
+    cost model).  The flat index of slot s in row t is affine because dpw
+    divides 128, so `(s*dpw)//128*128 + (s*dpw)%128 == s*dpw` exactly:
+
+      id   word: t*nwr*128 + s
+      aux  word: t*nwr*128 + idw*128 + s
+      code word: t*nwr*128 + 2*idw*128 + s*dpw + k,  k in [0, dpw)
+
+    Fully in place under donation."""
     cap = packed.self_codes.shape[0]
     dp = packed.dp
     dpw = dp // 4
@@ -337,26 +343,18 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
     slot_s = jnp.where(ok, slot, 0).astype(jnp.int32)
     tgt_s = jnp.where(ok, tgt, cap).astype(jnp.int32)  # cap = dump row
 
-    rows_t = packed.rows
-    base = tgt_s * nwr
+    base = tgt_s * (nwr * 128)
     id_w = jnp.asarray(src, jnp.int32)
     aux_w = f32_to_words(aux)
     code_w = codes_to_words(codes)                            # [E, dpw]
 
-    rows_t = rows_t.at[base + slot_s // 128, slot_s % 128].set(
-        id_w, mode="drop"
-    )
-    rows_t = rows_t.at[base + idw + slot_s // 128, slot_s % 128].set(
-        aux_w, mode="drop"
-    )
+    flat = packed.rows.reshape(-1)
+    flat = flat.at[base + slot_s].set(id_w, mode="drop")
+    flat = flat.at[base + idw * 128 + slot_s].set(aux_w, mode="drop")
     kw = jnp.arange(dpw, dtype=jnp.int32)[None, :]
-    crow = base + 2 * idw + (slot_s * dpw) // 128
-    ccol = (slot_s * dpw) % 128
-    rows_t = rows_t.at[
-        jnp.broadcast_to(crow[:, None], code_w.shape),
-        ccol[:, None] + kw,
-    ].set(code_w, mode="drop")
-    return packed._replace(rows=rows_t)
+    cbase = base + 2 * idw * 128 + slot_s * dpw
+    flat = flat.at[cbase[:, None] + kw].set(code_w, mode="drop")
+    return packed._replace(rows=flat.reshape(packed.rows.shape))
 
 
 # The deferred alias remains for host callers; with the int32 word table

@@ -4,7 +4,10 @@ STATUS: exact-parity with the unfused path (tested), but measured NEUTRAL on
 v5e — ~7.3ms/hop at [4096, L=100, C=256] vs ~6ms unfused: the f32 one-hot
 and rank broadcasts cost as much VMEM traffic as the XLA sorts they replace.
 Kept opt-in (`beam_search_scored(fused=True)`) as the base for an i8-mask /
-MXU-reduction variant.
+MXU-reduction variant.  A first production TPU run (2026-08-17) returned
+recall 0.001 while interpret-mode parity passed — root cause was the batched
+3-D `dot_general` payload application, which Mosaic silently miscompiles
+(CLAUDE.md); now formulated as masked lane-sums.
 
 Replaces ~8 XLA ops per `while` iteration (candidate sort-dedup, best-list
 membership compare, 3-operand merge sort, frontier-position sort, gathers)
@@ -94,32 +97,25 @@ def _core(best_d, best_i, best_exp, cand, cand_d, w: int):
     out_p = jax.lax.broadcasted_iota(jnp.int32, (blk, l, t), 1).astype(f32)
     onehot = (pos_all[:, None, :] == out_p).astype(f32)              # [B,L,T]
 
-    # ids ride the matmul directly as f32 — exact for |id| < 2^24 (the fused
-    # path is gated to indexes under 16M points per device/shard)
+    # ids ride the masked reduction as f32 — exact for |id| < 2^24 (the fused
+    # path is gated to indexes under 16M points per device/shard).
+    # Payload application is three masked lane-sums over T, NOT a batched 3-D
+    # dot_general: Mosaic silently miscompiles 3-D dot_general inside kernels
+    # (wrong values, no error — observed as recall 0.001 on v5e while the
+    # interpret-mode oracle passed; CLAUDE.md perf model).
     ids_all = jnp.concatenate([best_i, ci], axis=1)
-    vals = jnp.stack(
-        [
-            jnp.concatenate([best_d, cd], axis=1),
-            ids_all.astype(f32),
-            jnp.concatenate(
-                [best_exp.astype(f32), 1.0 - fresh], axis=1
-            ),
-        ],
-        axis=-1,
-    )                                                                # [B,T,3]
-    merged = jax.lax.dot_general(
-        onehot, vals, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=f32,
-    )                                                                # [B,L,3]
+    d_all = jnp.concatenate([best_d, cd], axis=1)                    # [B,T]
+    e_all = jnp.concatenate([best_exp.astype(f32), 1.0 - fresh], axis=1)
+    m_d = jnp.sum(onehot * d_all[:, None, :], axis=2)                # [B,L]
+    m_i = jnp.sum(onehot * ids_all.astype(f32)[:, None, :], axis=2)
+    m_e = jnp.sum(onehot * e_all[:, None, :], axis=2)
     # positions >= L never match out_p, so dropped entries contribute zeros;
     # a zero row would decode as (d=0, id=0): detect via onehot row-sum
     filled = jnp.sum(onehot, axis=2)                                 # [B,L] 0/1
-    live = filled * (merged[:, :, 0] < _BIG).astype(f32)
-    new_d = jnp.where(live > 0.5, merged[:, :, 0], jnp.inf)
-    new_i = jnp.where(filled > 0.5, merged[:, :, 1].astype(jnp.int32), -1)
-    new_e = jnp.maximum(
-        merged[:, :, 2] * filled, 1.0 - filled
-    )                                                                # [B,L] 0/1
+    live = filled * (m_d < _BIG).astype(f32)
+    new_d = jnp.where(live > 0.5, m_d, jnp.inf)
+    new_i = jnp.where(filled > 0.5, m_i.astype(jnp.int32), -1)
+    new_e = jnp.maximum(m_e * filled, 1.0 - filled)                  # [B,L] 0/1
     new_e = jnp.minimum(new_e + (1.0 - filled), 1.0)
 
     # ---- frontier: W closest unexpanded, marked expanded ----
