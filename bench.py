@@ -42,7 +42,11 @@ def main():
     r_deg = int(os.environ.get("BENCH_R", 64))
     w = int(os.environ.get("BENCH_W", 4))
     sw = int(os.environ.get("BENCH_SW", 0)) or w  # search beam width
-    sbs = int(os.environ.get("BENCH_SBS", 8192))
+    # sub-batch pipelining: dispatch-then-fetch over 2048-query sub-batches
+    # overlaps each sub-batch's host->device query upload with the previous
+    # one's compute (uploads run ~54MB/s on the relay and would otherwise
+    # cost more than the whole search loop; /tmp/r2_qps4.log)
+    sbs = int(os.environ.get("BENCH_SBS", 2048))
     d = 128
     k = 10
     target_recall = 0.95
@@ -84,7 +88,9 @@ def main():
         x = np.asarray(x)
     q = np.asarray(q)
 
-    cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w)
+    bmh = int(os.environ.get("BENCH_BUILD_MAXHOPS", 0)) or None
+    cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w,
+                      build_max_hops=bmh)
     # cache key includes every data-generation parameter (like the GT cache):
     # a stale index built from a different distribution reports garbage recall
     idx_cache = os.environ.get(
@@ -121,6 +127,10 @@ def main():
 
     qn = np.asarray(q)
     rerank_l = int(os.environ.get("BENCH_RERANK", 0)) or None
+    # f16 wire format for query upload: halves upload bytes, recall delta
+    # measured -0.0006 on the 1M bench (BENCH_QDT=float32 to disable)
+    qdt = os.environ.get("BENCH_QDT", "float16")
+    query_dtype = None if qdt in ("", "float32", "f32") else np.dtype(qdt)
     # hop cap: measured on the 1M bench index, hops saturate recall by ~14
     # hops at W=4 (free-running converges at ~91 hops for +0.000 recall);
     # capping cuts the ~0.5ms/iteration loop overhead (20.1k -> 30.2k QPS
@@ -137,12 +147,13 @@ def main():
     sweep = []
     for l in l_sweep:
         idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
-                   rerank_l=rerank_l, fused=fused,
+                   rerank_l=rerank_l, fused=fused, query_dtype=query_dtype,
                    max_hops=max_hops)  # compile at full batch shape
         t0 = time.time()
         _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
                                    beam_width=sw, rerank_l=rerank_l,
-                                   max_hops=max_hops, fused=fused)
+                                   max_hops=max_hops, fused=fused,
+                                   query_dtype=query_dtype)
         dt = time.time() - t0
         r = knn_recall(ids, gt, k)
         qps = nq / dt

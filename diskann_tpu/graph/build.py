@@ -160,7 +160,7 @@ def insert_batch(
             sdef, sdata, state.adjacency, start_ids, new_vecs,
             l_search=config.l_build,
             beam_width=config.beam_width,
-            max_hops=config.max_hops,
+            max_hops=config.build_max_hops or config.max_hops,
             pool_capacity=pool_capacity,
             record_pool=True,
             dedup="merge",
@@ -174,7 +174,7 @@ def insert_batch(
             metric=metric,
             l_search=config.l_build,
             beam_width=config.beam_width,
-            max_hops=config.max_hops,
+            max_hops=config.build_max_hops or config.max_hops,
             pool_capacity=pool_capacity,
             record_pool=True,
             query_valid=row_valid,

@@ -74,6 +74,13 @@ class GraphConfig:
     # Hard cap on beam-search hops (safety bound for lax.while_loop; the loop
     # exits early on convergence like the reference's cursor check).
     max_hops: int = 512
+    # Hop cap for the BUILD's candidate-generation search (phase 2 of
+    # multi_insert).  The frontier-batched while_loop runs to the SLOWEST
+    # query's convergence, so straggler queries make every batch pay
+    # worst-case iterations; a cap trades a slightly shallower candidate
+    # pool for bounded batch time (same lever as search-side max_hops —
+    # io_limit early-termination analogue).  None = config.max_hops.
+    build_max_hops: int | None = None
     # Capacity of the per-query "scored ids" dedup history.  The reference
     # uses a hash set (`scratch.visited`); we use a bounded buffer compared
     # with one broadcasted equality per hop.  0 = auto (4 * l * slack).

@@ -163,6 +163,13 @@ def _router_topk_packed(self_codes, self_aux, proj, pscale, pbias2,
     return router_ids[top]
 
 
+@jax.jit
+def _cast_f32(q):
+    """Device-side upcast of a compressed query upload (one tiny dispatch;
+    keeps every downstream jit specialized on f32 inputs)."""
+    return q.astype(jnp.float32)
+
+
 class GraphIndex:
     """A dynamic Vamana graph index on TPU."""
 
@@ -386,6 +393,7 @@ class GraphIndex:
         rerank_l: int | None = None,
         max_hops: int | None = None,
         fused: bool = False,
+        query_dtype=None,
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
         """k-NN search. Returns (dists [B,k], ids [B,k], stats).
 
@@ -403,7 +411,12 @@ class GraphIndex:
 
         Batches are DISPATCHED first and fetched after (device dispatch is
         async), and each batch's outputs cross the host link as one packed
-        array — per-batch fetch RTT is paid once, overlapped with compute."""
+        array — per-batch fetch RTT is paid once, overlapped with compute.
+        query_dtype: wire dtype for the host->device query upload (e.g.
+        jnp.float16).  The remote link runs at ~54 MB/s, so the f32 upload
+        of a big batch costs more than the whole search loop; f16 halves it
+        (cast back to f32 on device before any arithmetic).  Sub-batching
+        (search_batch_size < B) overlaps upload i+1 with compute i."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -425,7 +438,10 @@ class GraphIndex:
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
-            q_dev = jnp.asarray(q)
+            if query_dtype is not None:
+                q_dev = _cast_f32(jnp.asarray(q.astype(query_dtype)))
+            else:
+                q_dev = jnp.asarray(q)
             rstart = self._router_starts(q_dev, mode)
             if mode in ("pq", "sq", "packed", "spherical", "minmax"):
                 packed_out = self._quant_search_batch(

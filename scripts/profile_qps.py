@@ -86,7 +86,7 @@ def main():
         LOG(f"[qps] groundtruth in {time.time()-t0:.0f}s")
 
     idx_cache = f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{N}_{D}_R64"
-    if os.path.isdir(idx_cache):
+    if os.path.isdir(idx_cache) and not os.environ.get("QPS_REBUILD"):
         x = None
         t0 = time.time()
         idx = GraphIndex.load(idx_cache, search_batch_size=NQ)
@@ -100,16 +100,22 @@ def main():
             build_mode="packed", packed_dp=64,
         )
         LOG(f"[qps] build {time.time()-t0:.0f}s ({N/(time.time()-t0):.0f} pts/s)")
-        t0 = time.time()
-        idx.save(idx_cache)
-        LOG(f"[qps] saved to {idx_cache} ({time.time()-t0:.0f}s)")
+        if not os.path.isdir(idx_cache):
+            t0 = time.time()
+            idx.save(idx_cache)
+            LOG(f"[qps] saved to {idx_cache} ({time.time()-t0:.0f}s)")
     qn = np.asarray(q)
 
     results = []
-    for (l, w, mh, rl, fu) in CONFIGS:
+    for c in CONFIGS:
+        (l, w, mh, rl, fu), rest = c[:5], c[5:]
+        sbs = rest[0] if len(rest) > 0 and rest[0] else NQ
+        qdt = rest[1] if len(rest) > 1 and rest[1] else None
+        idx.search_batch_size = sbs
         p_ms = probe()
         kw = dict(l_search=l, mode="packed", beam_width=w,
-                  rerank_l=rl, max_hops=mh, fused=fu)
+                  rerank_l=rl, max_hops=mh, fused=fu,
+                  query_dtype=np.dtype(qdt) if qdt else None)
         try:
             idx.search(qn, K, **kw)  # compile
             t0 = time.time()
@@ -121,6 +127,7 @@ def main():
             continue
         r = knn_recall(ids, gt, K)
         row = {"l": l, "w": w, "max_hops": mh, "rerank_l": rl, "fused": fu,
+               "sbs": sbs, "qdt": qdt,
                "recall": round(float(r), 4), "qps": round(NQ / dt),
                "hops": round(float(stats.hops.mean()), 1),
                "probe_ms": round(p_ms, 1)}
