@@ -432,24 +432,51 @@ class GraphIndex:
         hops = np.zeros((b,), np.int32)
         start = self._start()
 
+        quant = mode in ("pq", "sq", "packed", "spherical", "minmax")
+        if quant:
+            # one dispatch per sub-batch: upload the (compressed) queries and
+            # run the composed program (router + traversal + rerank + pack)
+            router_ids = self._router_ids_live(mode)
+            use_router = router_ids is not None
+            fn = self._composed_quant_fn(
+                mode, k, l, w, rerank_l, max_hops, fused,
+                np.dtype(query_dtype).name if query_dtype else None,
+                use_router,
+            )
+            _, sdata, _ = self._scorer_for_mode(mode)
+            if use_router and (mode == "packed" or getattr(
+                    self, "_hbm_vectors_dropped", False)):
+                pk = self.packed
+                router_codes = (pk.self_codes, pk.self_aux, pk.proj,
+                                pk.pscale, pk.pbias2)
+            else:
+                router_codes = ()
+            if not use_router:
+                router_ids = jnp.zeros((1,), jnp.int32)
+
         pending = []
         for off in range(0, b, bs):
             q = queries[off : off + bs]
             m = q.shape[0]
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
+            if quant:
+                q_wire = jnp.asarray(
+                    q.astype(query_dtype) if query_dtype is not None else q
+                )
+                packed_out = fn(
+                    q_wire, sdata, self.state.adjacency, self.state.vectors,
+                    self.state.sq_norms, self.state.valid, router_ids,
+                    router_codes, start,
+                )
+                pending.append((off, m, packed_out))
+                continue
             if query_dtype is not None:
                 q_dev = _cast_f32(jnp.asarray(q.astype(query_dtype)))
             else:
                 q_dev = jnp.asarray(q)
             rstart = self._router_starts(q_dev, mode)
-            if mode in ("pq", "sq", "packed", "spherical", "minmax"):
-                packed_out = self._quant_search_batch(
-                    q_dev, k, l, w, mode,
-                    start=rstart if rstart is not None else start,
-                    rerank_l=rerank_l, max_hops=max_hops, fused=fused,
-                )
-            elif mode == "full":
+            if mode == "full":
                 res = beam_search(
                     self.state.vectors,
                     self.state.sq_norms,
@@ -468,9 +495,15 @@ class GraphIndex:
                 raise ValueError(f"unknown search mode {mode!r}")
             pending.append((off, m, packed_out))
 
-        for off, m, packed_out in pending:
-            arr = np.asarray(packed_out)
-            fd, fi, cm, hp = _unpack_outputs(arr, k)
+        # fetch ALL sub-batches as one stacked array: each independent
+        # np.asarray pays the full relay RTT; one stack dispatch + one fetch
+        # pays it once for the whole query set
+        if len(pending) > 1:
+            arrs = np.asarray(jnp.stack([po for _, _, po in pending]))
+        else:
+            arrs = [np.asarray(po) for _, _, po in pending]
+        for i, (off, m, _) in enumerate(pending):
+            fd, fi, cm, hp = _unpack_outputs(arrs[i], k)
             out_d[off : off + m] = fd[:m]
             out_i[off : off + m] = fi[:m]
             cmps[off : off + m] = cm[:m]
@@ -636,6 +669,86 @@ class GraphIndex:
             )
             return sdef, sdata, None
         raise ValueError(f"unknown search mode {mode!r}")
+
+    _compose_cache: dict | None = None
+
+    def _router_ids_live(self, mode: str) -> jax.Array | None:
+        """Host half of router start-points: the sampled live-id set (device
+        top-k happens inside the composed search program)."""
+        cfg = self.config
+        size = min(cfg.router_size, self.n_live // 4)
+        if cfg.router_size <= 0 or size < 64:
+            return None
+        if self._cached_start is not None and mode not in ("packed",):
+            return None
+        if self._router_ids is None:
+            valid = np.asarray(self.state.valid[: self.n])
+            live = np.nonzero(valid)[0]
+            rng = np.random.default_rng(0xD15C)
+            sel = rng.choice(live, size=min(size, len(live)), replace=False)
+            self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
+        return self._router_ids
+
+    def _composed_quant_fn(self, mode, k, l, w, rl, mh, fused, wire,
+                           use_router):
+        """ONE jitted program per search config: device upcast + router
+        top-k + quantized traversal + full-precision rerank + output
+        packing.  The relay link charges per dispatch (HTTP round trips on
+        a one-core host), so five chained dispatches per sub-batch cost
+        more than the compute at bench shape; composing them leaves one.
+        Cached per config (the bench L-sweep hits several)."""
+        expand_r = self.packed.r_pack if mode == "packed" else None
+        key = (mode, k, l, w, rl, mh, fused, wire, use_router,
+               self.config, expand_r)
+        if self._compose_cache is None:
+            self._compose_cache = {}
+        fn = self._compose_cache.get(key)
+        if fn is not None:
+            return fn
+        from diskann_tpu.graph.search import beam_search_scored
+
+        sdef, _, _ = self._scorer_for_mode(mode)
+        cfg = self.config
+        metric = cfg.metric
+        dedup = "list" if (mode == "packed" or w > 1) else "ring"
+        hist = cfg.history_capacity(l)
+        n_start = cfg.router_starts
+        mh_eff = mh or cfg.max_hops
+        rl_eff = min(rl, l) if rl else l
+        packed_router = mode == "packed" or getattr(
+            self, "_hbm_vectors_dropped", False
+        )
+
+        @jax.jit
+        def run(q_wire, sdata, adjacency, vectors, sq_norms, valid,
+                router_ids, router_codes, start):
+            q = q_wire.astype(jnp.float32)
+            if use_router:
+                if packed_router:
+                    self_codes, self_aux, proj, pscale, pbias2 = router_codes
+                    st = _router_topk_packed(
+                        self_codes, self_aux, proj, pscale, pbias2,
+                        router_ids, q, metric, n_start,
+                    )
+                else:
+                    st = _router_topk_full(
+                        vectors, sq_norms, router_ids, q, metric, n_start
+                    )
+            else:
+                st = start
+            res = beam_search_scored(
+                sdef, sdata, adjacency, st, q,
+                l_search=l, beam_width=w, max_hops=mh_eff,
+                history_capacity=hist, dedup=dedup, expand_r=expand_r,
+                fused=fused,
+            )
+            fd, fi = _rerank(
+                res.ids[:, :rl_eff], q, vectors, sq_norms, valid, metric, k
+            )
+            return _pack_outputs(fd, fi, res.cmps, res.hops)
+
+        self._compose_cache[key] = run
+        return run
 
     def _quant_search_batch(self, q, k, l, w, mode, start=None,
                             rerank_l: int | None = None,

@@ -99,15 +99,23 @@ def main():
     row_valid = jnp.ones((M,), jnp.bool_)
     start = jnp.zeros((1,), jnp.int32)
 
+    mh24 = dataclasses.replace(base, build_max_hops=24)
     ablations = {
-        "base": base,
-        "mh32": dataclasses.replace(base, build_max_hops=32),
-        "mh24": dataclasses.replace(base, build_max_hops=24),
-        "mh16": dataclasses.replace(base, build_max_hops=16),
-        "mh24_noib": dataclasses.replace(
-            base, build_max_hops=24, intra_batch_candidates=0
-        ),
-        "noib": dataclasses.replace(base, intra_batch_candidates=0),
+        "base": (base, {}),
+        "mh32": (dataclasses.replace(base, build_max_hops=32), {}),
+        "mh24": (mh24, {}),
+        "mh16": (dataclasses.replace(base, build_max_hops=16), {}),
+        "mh24_noib": (
+            dataclasses.replace(mh24, intra_batch_candidates=0), {}),
+        "noib": (dataclasses.replace(base, intra_batch_candidates=0), {}),
+        "mh24_ib128": (
+            dataclasses.replace(mh24, intra_batch_candidates=128), {}),
+        "mh24_chunkM": (mh24, {"prune_chunk": M}),
+        "mh24_chunk4k": (mh24, {"prune_chunk": 4096}),
+        "mh24_bsc32": (mh24, {"backedge_src_cap": 32}),
+        "mh24_be16": (
+            dataclasses.replace(mh24, max_backedges=16), {}),
+        "mh24_pool256": (mh24, {"pool_capacity": 256}),
     }
     names = json.loads(os.environ.get(
         "PI_ABLATIONS", '["base","mh32","mh24","mh16","mh24_noib"]'
@@ -115,10 +123,10 @@ def main():
 
     results = {}
     for name in names:
-        cfg = ablations[name]
+        cfg, kw = ablations[name]
         t0 = time.time()
         s2, p2, stats = insert_batch(
-            state, slot_ids, new_vecs, row_valid, start, cfg, packed
+            state, slot_ids, new_vecs, row_valid, start, cfg, packed, **kw
         )
         sync(stats.hops)
         compile_s = time.time() - t0
@@ -129,7 +137,7 @@ def main():
         for _ in range(REPS):
             t0 = time.time()
             state, packed, stats = insert_batch(
-                state, slot_ids, new_vecs, row_valid, start, cfg, packed
+                state, slot_ids, new_vecs, row_valid, start, cfg, packed, **kw
             )
             sync(stats.hops)
             ts.append(time.time() - t0)
