@@ -88,9 +88,16 @@ def main():
         x = np.asarray(x)
     q = np.asarray(q)
 
-    bmh = int(os.environ.get("BENCH_BUILD_MAXHOPS", 0)) or None
+    # build knobs, both measured recall-neutral on the 1M bench while cutting
+    # insert_batch 1783 -> 1285 ms (/tmp/r2_insert*.log, /tmp/r2_occ_build.log:
+    # L-sweep recall identical to 4 decimal places vs occ=750/uncapped):
+    # - build_max_hops=24: cap candidate-search hops (mean converges ~93)
+    # - max_occlusion_size=256: the prune's [M, C, 128] pool gather is
+    #   row-issue-bound, cost linear in C; 750 is a worst-case cap
+    bmh = int(os.environ.get("BENCH_BUILD_MAXHOPS", 24)) or None
+    occ = int(os.environ.get("BENCH_OCC", 256))
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w,
-                      build_max_hops=bmh)
+                      build_max_hops=bmh, max_occlusion_size=occ)
     # cache key includes every data-generation parameter (like the GT cache):
     # a stale index built from a different distribution reports garbage recall
     idx_cache = os.environ.get(

@@ -116,6 +116,16 @@ def main():
         "mh24_be16": (
             dataclasses.replace(mh24, max_backedges=16), {}),
         "mh24_pool256": (mh24, {"pool_capacity": 256}),
+        # occlusion-pool cap: the prune's [M, C] candidate-vector gather is
+        # row-issue-bound, so cost ~ linear in C (reference cap 750 is a
+        # worst-case bound, not a typical need)
+        "mh24_occ384": (
+            dataclasses.replace(mh24, max_occlusion_size=384), {}),
+        "mh24_occ256": (
+            dataclasses.replace(mh24, max_occlusion_size=256), {}),
+        "mh24_occ256_p256": (
+            dataclasses.replace(mh24, max_occlusion_size=256),
+            {"pool_capacity": 256}),
     }
     names = json.loads(os.environ.get(
         "PI_ABLATIONS", '["base","mh32","mh24","mh16","mh24_noib"]'

@@ -85,32 +85,46 @@ def main():
         del flat
         LOG(f"[qps] groundtruth in {time.time()-t0:.0f}s")
 
-    idx_cache = f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{N}_{D}_R64"
+    dp = int(os.environ.get("QPS_DP", 64))
+    sfx = "" if dp == 64 else f"_dp{dp}"
+    idx_cache = f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{N}_{D}_R64{sfx}"
     if os.path.isdir(idx_cache) and not os.environ.get("QPS_REBUILD"):
         x = None
         t0 = time.time()
         idx = GraphIndex.load(idx_cache, search_batch_size=NQ)
         LOG(f"[qps] index loaded in {time.time()-t0:.0f}s")
     else:
-        cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4)
+        cfg = GraphConfig(
+            max_degree=64, l_build=100, alpha=1.2, beam_width=4,
+            build_max_hops=int(os.environ.get("QPS_BMH", 24)) or None,
+            max_occlusion_size=int(os.environ.get("QPS_OCC", 256)),
+        )
         x = np.asarray(x)
         t0 = time.time()
         idx = GraphIndex.build(
             x, cfg, insert_batch_size=8192, search_batch_size=NQ,
-            build_mode="packed", packed_dp=64,
+            build_mode="packed", packed_dp=dp,
         )
         LOG(f"[qps] build {time.time()-t0:.0f}s ({N/(time.time()-t0):.0f} pts/s)")
-        if not os.path.isdir(idx_cache):
+        if os.environ.get("QPS_SAVE") and not os.path.isdir(idx_cache):
             t0 = time.time()
             idx.save(idx_cache)
             LOG(f"[qps] saved to {idx_cache} ({time.time()-t0:.0f}s)")
     qn = np.asarray(q)
 
+    import dataclasses
+
+    base_cfg = idx.config
     results = []
     for c in CONFIGS:
         (l, w, mh, rl, fu), rest = c[:5], c[5:]
         sbs = rest[0] if len(rest) > 0 and rest[0] else NQ
         qdt = rest[1] if len(rest) > 1 and rest[1] else None
+        router_off = bool(rest[2]) if len(rest) > 2 else False
+        idx.config = (
+            dataclasses.replace(base_cfg, router_size=0)
+            if router_off else base_cfg
+        )
         idx.search_batch_size = sbs
         p_ms = probe()
         kw = dict(l_search=l, mode="packed", beam_width=w,
@@ -127,7 +141,7 @@ def main():
             continue
         r = knn_recall(ids, gt, K)
         row = {"l": l, "w": w, "max_hops": mh, "rerank_l": rl, "fused": fu,
-               "sbs": sbs, "qdt": qdt,
+               "sbs": sbs, "qdt": qdt, "router_off": router_off,
                "recall": round(float(r), 4), "qps": round(NQ / dt),
                "hops": round(float(stats.hops.mean()), 1),
                "probe_ms": round(p_ms, 1)}
