@@ -78,14 +78,12 @@ def main():
         LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
         np.save(gt_cache, gt)
         del flat
-    # drop the device-resident dataset before the build: the 1M build's
-    # peak (donated state + word-append slices) needs the HBM.  When the
-    # build is skipped, x is never needed on host — and the 512MB fetch
-    # over the relay costs minutes.
+    # keep the dataset device-resident through the build: insert() slices
+    # batches on device, so the 512MB array never crosses the ~54MB/s relay
+    # (a host round trip costs ~20s of pure transfer).  occ=256 build
+    # transients leave ample HBM for the extra 520MB.
     if os.environ.get("BENCH_SKIP_BUILD") == "1":
         x = None
-    else:
-        x = np.asarray(x)
     q = np.asarray(q)
 
     # build knobs, both measured recall-neutral on the 1M bench while cutting
@@ -114,16 +112,15 @@ def main():
         LOG(f"[bench] building index R={cfg.max_degree} L={cfg.l_build} W={w} "
             f"sbs={sbs} (packed)")
         if x is None:  # SKIP_BUILD requested but no cache present
-            x = np.asarray(
-                make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35,
+            x = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35,
                                device=True)[0]
-            )
         t0 = time.time()
         idx = GraphIndex.build(
-            np.asarray(x), cfg, insert_batch_size=8192, search_batch_size=sbs,
+            x, cfg, insert_batch_size=8192, search_batch_size=sbs,
             build_mode="packed", packed_dp=64,
         )
         build_s = time.time() - t0
+        x = None  # free the 520MB device copy before the search sweep
         pts_per_s = n / build_s
         LOG(f"[bench] build: {build_s:.1f}s ({pts_per_s:.0f} pts/s)")
         if os.environ.get("BENCH_SAVE_IDX") == "1":

@@ -220,8 +220,14 @@ class GraphIndex:
         incrementally and uses it for candidate generation — much faster
         build at scale (row-count-bound gathers drop by R x), with prune
         decisions still full-precision.  The packed layout then also serves
-        `search(mode="packed")` with no extra attach step."""
-        vectors = np.asarray(vectors)
+        `search(mode="packed")` with no extra attach step.
+
+        `vectors` may be a device-resident jax.Array (e.g. generated on
+        device): batches are then sliced on device and never cross the host
+        link (the relay runs ~54 MB/s, so a 1M x 128 f32 round trip costs
+        ~20s of pure transfer)."""
+        if not isinstance(vectors, jax.Array):
+            vectors = np.asarray(vectors)
         n, dim = vectors.shape
         idx = cls(
             dim,
@@ -337,9 +343,15 @@ class GraphIndex:
         recycled first, like the reference's freelist
         (`diskann-inmem/src/freelist.rs`).
         """
-        vectors = np.asarray(vectors, dtype=np.float32)
-        if vectors.ndim == 1:
-            vectors = vectors[None]
+        on_device = isinstance(vectors, jax.Array)
+        if on_device:
+            if vectors.ndim == 1:
+                vectors = vectors[None]
+            vectors = vectors.astype(jnp.float32)
+        else:
+            vectors = np.asarray(vectors, dtype=np.float32)
+            if vectors.ndim == 1:
+                vectors = vectors[None]
         m_total = vectors.shape[0]
 
         # assign slots: freelist first, then fresh ones at the high-water mark
@@ -361,7 +373,8 @@ class GraphIndex:
             schunk = slots[off : off + bs].astype(np.int32)
             m = chunk.shape[0]
             if m < bs:
-                chunk = np.pad(chunk, ((0, bs - m), (0, 0)))
+                pad2 = jnp.pad if on_device else np.pad
+                chunk = pad2(chunk, ((0, bs - m), (0, 0)))
                 schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
             with span("insert.batch", offset=off, rows=m):
