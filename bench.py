@@ -135,11 +135,12 @@ def main():
     # measured -0.0006 on the 1M bench (BENCH_QDT=float32 to disable)
     qdt = os.environ.get("BENCH_QDT", "float16")
     query_dtype = None if qdt in ("", "float32", "f32") else np.dtype(qdt)
-    # hop cap: measured on the 1M bench index, hops saturate recall by ~14
-    # hops at W=4 (free-running converges at ~91 hops for +0.000 recall);
-    # capping cuts the ~0.5ms/iteration loop overhead (20.1k -> 30.2k QPS
-    # at recall 0.985, /tmp/r2_qps2.log).  BENCH_MAXHOPS=-1 disables.
-    max_hops = int(os.environ.get("BENCH_MAXHOPS", 14))
+    # hop cap: measured on the 1M bench index, recall saturates by ~10 hops
+    # at W=4 with router starts (free-running converges at ~91 hops for
+    # +0.0005 recall; mh=10/9/8 all hold recall@L=90 >= 0.9527,
+    # /tmp/r2_qps6.log).  Each capped hop saves expansion DMA + sorts +
+    # the ~0.5ms iteration floor.  BENCH_MAXHOPS=-1 disables.
+    max_hops = int(os.environ.get("BENCH_MAXHOPS", 10))
     max_hops = None if max_hops <= 0 else max_hops
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     l_sweep = tuple(

@@ -482,6 +482,14 @@ class GraphIndex:
                     self.state.sq_norms, self.state.valid, router_ids,
                     router_codes, start,
                 )
+                # start the D2H copy now: it overlaps the NEXT sub-batch's
+                # compute, so the final np.asarray finds the bytes already on
+                # host (measured 124.8 -> 42.9 ms for a 4x[2048,22] result
+                # set over the relay, scripts/profile_fetch.py)
+                try:
+                    packed_out.copy_to_host_async()
+                except Exception:
+                    pass
                 pending.append((off, m, packed_out))
                 continue
             if query_dtype is not None:
@@ -506,15 +514,16 @@ class GraphIndex:
                 packed_out = _pack_outputs(fd, fi, res.cmps, res.hops)
             else:
                 raise ValueError(f"unknown search mode {mode!r}")
+            try:
+                packed_out.copy_to_host_async()
+            except Exception:
+                pass
             pending.append((off, m, packed_out))
 
-        # fetch ALL sub-batches as one stacked array: each independent
-        # np.asarray pays the full relay RTT; one stack dispatch + one fetch
-        # pays it once for the whole query set
-        if len(pending) > 1:
-            arrs = np.asarray(jnp.stack([po for _, _, po in pending]))
-        else:
-            arrs = [np.asarray(po) for _, _, po in pending]
+        # outputs were async-copied to host right after each dispatch (see
+        # copy_to_host_async above), so these np.asarray calls mostly find
+        # local bytes; only the LAST sub-batch's copy can still be in flight
+        arrs = [np.asarray(po) for _, _, po in pending]
         for i, (off, m, _) in enumerate(pending):
             fd, fi, cm, hp = _unpack_outputs(arrs[i], k)
             out_d[off : off + m] = fd[:m]

@@ -163,6 +163,16 @@ def _empty_rows(n: int, r_pack: int, dp: int) -> jax.Array:
 def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
     dp = proj.shape[1]
     rp = padded_degree(r_slack, dp)
+    words = (capacity + 1) * n_wrows(rp, dp) * 128
+    if words >= 1 << 31:
+        # append_edges addresses the word table through FLAT int32 affine
+        # scatters (the only scatter form that doesn't serialize on TPU) —
+        # a table over 2^31 words cannot be indexed that way
+        raise ValueError(
+            f"packed table would be {words} i32 words (>= 2^31): "
+            f"capacity={capacity} r_pack={rp} dp={dp}.  Reduce dp or "
+            f"max_degree, or shard the index (ShardedGraphIndex)."
+        )
     # +1 sacrificial DUMP row at index `capacity`: dropped writes (sentinel
     # id = cap) land there instead of needing per-write masking
     return PackedState(
