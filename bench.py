@@ -92,7 +92,10 @@ def main():
     # - build_max_hops=24: cap candidate-search hops (mean converges ~93)
     # - max_occlusion_size=256: the prune's [M, C, 128] pool gather is
     #   row-issue-bound, cost linear in C; 750 is a worst-case cap
-    bmh = int(os.environ.get("BENCH_BUILD_MAXHOPS", 24)) or None
+    # with router-seeded build searches (insert() refreshes a 32k router
+    # table every 16 batches) candidate generation converges by ~10 hops;
+    # 12 is recall-identical to 24/uncapped (/tmp/r2_bench9.log vs bench8)
+    bmh = int(os.environ.get("BENCH_BUILD_MAXHOPS", 12)) or None
     occ = int(os.environ.get("BENCH_OCC", 256))
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w,
                       build_max_hops=bmh, max_occlusion_size=occ)
@@ -118,6 +121,7 @@ def main():
         idx = GraphIndex.build(
             x, cfg, insert_batch_size=8192, search_batch_size=sbs,
             build_mode="packed", packed_dp=64,
+            build_backedge_src_cap=int(os.environ.get("BENCH_BSC", 64)),
         )
         build_s = time.time() - t0
         x = None  # free the 520MB device copy before the search sweep

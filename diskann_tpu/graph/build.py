@@ -123,6 +123,7 @@ def insert_batch(
     pool_capacity: int = 512,
     prune_chunk: int = 0,
     backedge_src_cap: int = 64,
+    router=None,            # (rc [S, dp] i8, raux [S] f32, rids [S] i32) | None
 ):
     """Insert a batch of M new points at ``slot_ids``.
 
@@ -154,10 +155,35 @@ def insert_batch(
         )
 
     # ---------------- phase 2: candidate generation ----------------
+    if packed is not None and router is not None:
+        # per-query router entry points (same strategy as production search:
+        # one int8 MXU matmul vs a sampled live set) — candidate search
+        # converges in ~10 hops instead of ~24 walking down from the medoid
+        from diskann_tpu.graph.scorers import packed_router_starts
+
+        rc, raux, rids = router
+        # chunk the [M, S] distance matrix: at M=8192, S=32768 the full
+        # i32 dots + f32 dists would hold ~2GB of HLO temps
+        rq = max(1, m // 2048)
+        rst = jnp.concatenate([
+            packed_router_starts(
+                rc, raux, rids, packed.proj, packed.pscale, packed.pbias2,
+                new_vecs[i * (m // rq):(i + 1) * (m // rq)], metric,
+                config.router_starts, exact=False,
+            )
+            for i in range(rq)
+        ], axis=0)
+        search_start = jnp.concatenate(
+            [jnp.broadcast_to(start_ids[None, :], (m, start_ids.shape[0])),
+             rst], axis=1,
+        )
+        search_start = jnp.where(row_valid[:, None], search_start, -1)
+    else:
+        search_start = start_ids
     if packed is not None:
         sdef, sdata = packed_scorer(packed, metric)
         res = beam_search_scored(
-            sdef, sdata, state.adjacency, start_ids, new_vecs,
+            sdef, sdata, state.adjacency, search_start, new_vecs,
             l_search=config.l_build,
             beam_width=config.beam_width,
             max_hops=config.build_max_hops or config.max_hops,

@@ -182,12 +182,17 @@ class GraphIndex:
         dtype=jnp.float32,
         insert_batch_size: int = 1024,
         search_batch_size: int = 1024,
+        build_backedge_src_cap: int = 64,
     ):
         self.config = config or GraphConfig()
         self.dim = dim
         self.dtype = dtype
         self.insert_batch_size = insert_batch_size
         self.search_batch_size = search_batch_size
+        # per-overfull-target cap on batch backedge sources entering the
+        # re-prune pool (phase 3c); the pool gather is row-issue-bound so
+        # cost is linear in (R_slack + this)
+        self.build_backedge_src_cap = build_backedge_src_cap
         self.n = 0
         self.n_deleted = 0
         self.packed = None
@@ -368,7 +373,23 @@ class GraphIndex:
         bs = self.insert_batch_size
         cmps = hops = 0
         self._invalidate_start()  # one medoid refresh per insert call
-        for off in range(0, m_total, bs):
+        # Build-side router entry points: once enough nodes are committed
+        # (>= 4 x router_size, so the sampled-set shape is constant and the
+        # kernel compiles exactly twice: unrouted + routed), candidate
+        # searches start from per-query nearest router nodes instead of the
+        # medoid.  The table is re-gathered every 16 batches (ids sampled
+        # host-side from the committed id range; a stale/deleted entry is
+        # harmless — it's just an entry point).
+        base_n = self.n
+        r_size = self.config.router_size
+        use_router = (
+            self.packed is not None
+            and r_size > 0
+            and self.config.router_starts > 0
+        )
+        router = None
+        next_router_refresh = 0
+        for bi, off in enumerate(range(0, m_total, bs)):
             chunk = vectors[off : off + bs]
             schunk = slots[off : off + bs].astype(np.int32)
             m = chunk.shape[0]
@@ -377,6 +398,19 @@ class GraphIndex:
                 chunk = pad2(chunk, ((0, bs - m), (0, 0)))
                 schunk = np.pad(schunk, (0, bs - m), constant_values=-1)
             row_valid = jnp.arange(bs) < m
+            committed = base_n + off
+            if use_router and committed >= 4 * r_size and bi >= next_router_refresh:
+                rng_r = np.random.default_rng(0xD15C ^ committed)
+                rids = np.sort(
+                    rng_r.choice(committed, size=r_size, replace=False)
+                ).astype(np.int32)
+                rids = jnp.asarray(rids)
+                router = (
+                    self.packed.self_codes[rids],
+                    self.packed.self_aux[rids],
+                    rids,
+                )
+                next_router_refresh = bi + 16
             with span("insert.batch", offset=off, rows=m):
                 self.state, self.packed, stats = insert_batch(
                     self.state,
@@ -386,6 +420,8 @@ class GraphIndex:
                     self._start(),
                     self.config,
                     self.packed,
+                    backedge_src_cap=self.build_backedge_src_cap,
+                    router=router,
                 )
             self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
             cmps += int(stats.cmps.sum())

@@ -444,3 +444,34 @@ def packed_scorer(packed, metric: Metric):
         packed.rows, packed.proj, packed.pscale, packed.pbias2,
         packed.self_codes, packed.self_aux,
     )
+
+
+# ----------------------------------------------------------- router starts
+def packed_router_starts(rc, raux, rids, proj, pscale, pbias2, queries,
+                         metric: Metric, n_start: int, *, exact: bool = True):
+    """Per-query entry points from a PRE-GATHERED router table.
+
+    One int8 MXU matmul of the query batch against `rc` [S, dp] (the packed
+    self-codes of `rids`, gathered once at refresh time rather than per
+    dispatch — a 32k-row gather costs ~0.4-2.3 ms each call otherwise),
+    then the `n_start` nearest router ids per query.  TPU-native stand-in
+    for the reference's start-point strategies
+    (`diskann/src/graph/start_point.rs:19-41`).  `exact=False` uses
+    approx_min_k (fine for build-time candidate generation)."""
+    q = queries.astype(jnp.float32) @ proj
+    qb = q - pbias2[None, :] if metric.needs_norms else q
+    qs = qb * pscale[None, :]
+    qscale = jnp.maximum(jnp.abs(qs).max(axis=1), 1e-20) / 127.0
+    qi = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
+    dots = jax.lax.dot_general(
+        qi, rc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * qscale[:, None]
+    if metric == Metric.InnerProduct:
+        d = -dots
+    else:
+        d = jnp.sum(qb * qb, axis=-1, keepdims=True) + raux[None, :] - 2.0 * dots
+    if exact:
+        _, top = jax.lax.top_k(-d, n_start)
+    else:
+        _, top = jax.lax.approx_min_k(d, n_start)
+    return rids[top]
