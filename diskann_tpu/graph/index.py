@@ -371,7 +371,8 @@ class GraphIndex:
         from diskann_tpu.trace import span
 
         bs = self.insert_batch_size
-        cmps = hops = 0
+        totals = None      # device-scalar (cmps, hops) accumulators
+        sync_q = []        # one-behind sync handles (bound in-flight batches)
         self._invalidate_start()  # one medoid refresh per insert call
         # Build-side router entry points: once enough nodes are committed
         # (>= 4 x router_size, so the sampled-set shape is constant and the
@@ -424,10 +425,25 @@ class GraphIndex:
                     router=router,
                 )
             self.n = max(self.n, int(schunk[:m].max()) + 1 if m else self.n)
-            cmps += int(stats.cmps.sum())
-            hops += int(stats.hops.sum())
+            # accumulate stats ON DEVICE and sync one batch BEHIND: a
+            # blocking int(fetch) here would serialize host batch prep with
+            # device compute (~0.27s/batch of prep hidden by the overlap),
+            # while never syncing would enqueue every batch's donated
+            # transients at once (dispatch allocates outputs at enqueue —
+            # CLAUDE.md).  Two batches in flight is the double-buffer.
+            tc, th = stats.cmps.sum(), stats.hops.sum()
+            totals = (
+                (tc, th) if totals is None
+                else (totals[0] + tc, totals[1] + th)
+            )
+            sync_q.append(th)
+            if len(sync_q) > 1:
+                np.asarray(sync_q.pop(0))  # the only real barrier on axon
         self.n_deleted -= reuse
-        self.last_insert_stats = {"cmps": cmps, "hops": hops}
+        self.last_insert_stats = {
+            "cmps": int(totals[0]) if totals is not None else 0,
+            "hops": int(totals[1]) if totals is not None else 0,
+        }
         return slots
 
     # ----------------------------------------------------------------- search

@@ -86,8 +86,10 @@ def main():
         LOG(f"[qps] groundtruth in {time.time()-t0:.0f}s")
 
     dp = int(os.environ.get("QPS_DP", 64))
+    r_deg = int(os.environ.get("QPS_R", 64))
+    rsz = int(os.environ.get("QPS_ROUTER", 32768))
     sfx = "" if dp == 64 else f"_dp{dp}"
-    idx_cache = f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{N}_{D}_R64{sfx}"
+    idx_cache = f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{N}_{D}_R{r_deg}{sfx}"
     if os.path.isdir(idx_cache) and not os.environ.get("QPS_REBUILD"):
         x = None
         t0 = time.time()
@@ -95,7 +97,8 @@ def main():
         LOG(f"[qps] index loaded in {time.time()-t0:.0f}s")
     else:
         cfg = GraphConfig(
-            max_degree=64, l_build=100, alpha=1.2, beam_width=4,
+            max_degree=r_deg, l_build=100, alpha=1.2, beam_width=4,
+            router_size=rsz,
             build_max_hops=int(os.environ.get("QPS_BMH", 24)) or None,
             max_occlusion_size=int(os.environ.get("QPS_OCC", 256)),
         )
@@ -121,10 +124,18 @@ def main():
         sbs = rest[0] if len(rest) > 0 and rest[0] else NQ
         qdt = rest[1] if len(rest) > 1 and rest[1] else None
         router_off = bool(rest[2]) if len(rest) > 2 else False
-        idx.config = (
-            dataclasses.replace(base_cfg, router_size=0)
-            if router_off else base_cfg
-        )
+        # rest[3]: router table size / rest[4]: router_starts override
+        r_kw = {}
+        if router_off:
+            r_kw["router_size"] = 0
+        elif len(rest) > 3 and rest[3]:
+            r_kw["router_size"] = int(rest[3])
+        if len(rest) > 4 and rest[4]:
+            r_kw["router_starts"] = int(rest[4])
+        new_cfg = dataclasses.replace(base_cfg, **r_kw) if r_kw else base_cfg
+        if new_cfg is not idx.config and new_cfg != idx.config:
+            idx._invalidate_start()  # resample the router table
+        idx.config = new_cfg
         idx.search_batch_size = sbs
         p_ms = probe()
         kw = dict(l_search=l, mode="packed", beam_width=w,
@@ -142,6 +153,7 @@ def main():
         r = knn_recall(ids, gt, K)
         row = {"l": l, "w": w, "max_hops": mh, "rerank_l": rl, "fused": fu,
                "sbs": sbs, "qdt": qdt, "router_off": router_off,
+               "router": (idx.config.router_size, idx.config.router_starts),
                "recall": round(float(r), 4), "qps": round(NQ / dt),
                "hops": round(float(stats.hops.mean()), 1),
                "probe_ms": round(p_ms, 1)}

@@ -108,3 +108,84 @@ def test_tiered_batched_pipeline_matches(tmp_path, rng):
     d2, i2, _ = ti.search_batched(q, k=10, l_search=32, batch_size=32)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+# ---------------------------------------------------------------- merged build
+def test_merged_build_over_budget(rng):
+    """HBM-budget sharded build (`MergedVamanaIndexBuilder`, core.rs:34-76):
+    k-means shards with overlap-2 assignment, per-shard device builds, id-
+    union merge ranked by exact edge length, packed codes chunk-encoded."""
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 4000, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=50)] + 0.25 * rng.standard_normal(
+        (50, d)
+    ).astype(np.float32)
+
+    t = build_merged(
+        x, GraphConfig(max_degree=16, l_build=32), n_shards=3, dp=16,
+        insert_batch_size=512, seed=3,
+    )
+    g = t.graph
+    # vectors never became device-resident in the merged graph
+    assert g.state.vectors.shape[0] == 1
+    assert g.n == n
+    adj = np.asarray(g.state.adjacency[:n])
+    # merge invariants: no self loops, no dups, degrees match rows
+    assert not (adj == np.arange(n)[:, None]).any()
+    srt = np.sort(np.where(adj < 0, 2**31 - 1, adj), axis=1)
+    dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**31 - 1)
+    assert not dup.any()
+    np.testing.assert_array_equal(
+        np.asarray(g.state.degrees[:n]), (adj >= 0).sum(axis=1)
+    )
+    assert (adj >= 0).sum(axis=1).min() >= 1  # nobody orphaned
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, ids, _ = t.search(q, k=10, l_search=48)
+    assert knn_recall(ids, gt_i, 10) >= 0.88
+
+
+def test_merged_build_single_shard_delegates(rng):
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    x = rng.standard_normal((600, 16)).astype(np.float32)
+    t = build_merged(
+        x, GraphConfig(max_degree=12, l_build=24), n_shards=1, dp=16,
+        insert_batch_size=256,
+    )
+    _, ids, _ = t.search(x[:5] + 0.01, k=1, l_search=24)
+    assert (ids[:, 0] == np.arange(5)).mean() >= 0.8
+
+
+def test_merged_build_save_load(tmp_path, rng):
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 1500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    t = build_merged(
+        x, GraphConfig(max_degree=12, l_build=24), n_shards=3, dp=16,
+        insert_batch_size=256, seed=5,
+    )
+    q = x[:16] + 0.01
+    _, ids0, _ = t.search(q, k=5, l_search=24)
+    p = str(tmp_path / "merged")
+    t.save(p)
+    t2 = TieredIndex.load(p)
+    _, ids1, _ = t2.search(q, k=5, l_search=24)
+    np.testing.assert_array_equal(ids0, ids1)
+
+
+def test_plan_shards_budget():
+    from diskann_tpu.tiered.merged_build import plan_shards
+
+    # a dataset needing ~4x the budget with overlap 2 -> >= 8 shards
+    one = plan_shards(1 << 20, 128, 83, dp=64, overlap=2,
+                      hbm_budget_bytes=1 << 40)
+    assert one == 1
+    many = plan_shards(1 << 20, 128, 83, dp=64, overlap=2,
+                       hbm_budget_bytes=200 * (1 << 20))
+    assert many >= 8
