@@ -874,6 +874,7 @@ class GraphIndex:
         adaptive_l: bool = True,
         max_l_scale: int = 8,
         method: str = "inline",
+        scan_threshold: int | None = None,
     ):
         """Label-filtered k-NN.
 
@@ -883,10 +884,15 @@ class GraphIndex:
         result list; optional adaptive-L re-search when the filter is too
         selective.
         method="multihop": accept-only navigation with two-hop expansion
-        through rejected nodes (`multihop_filter_search.rs`)."""
+        through rejected nodes (`multihop_filter_search.rs`).
+        scan_threshold: max match-set size for the exact posting-list scan
+        (default max(4*l_search, 512) for inline, always for prefilter);
+        0 forces graph navigation."""
         from diskann_tpu.filters import compile_accept, parse_predicate
         from diskann_tpu.graph.scorers import full_precision_scorer
-        from diskann_tpu.graph.search import beam_search_scored
+        from diskann_tpu.graph.search import (
+            beam_search_scored, grow_resume_state, search_geometry,
+        )
 
         if isinstance(predicate, str):
             predicate = parse_predicate(predicate)
@@ -917,7 +923,10 @@ class GraphIndex:
                 self.state.valid,
             ) & self.state.valid
             cnt = int(jnp.sum(acc_all))
-            threshold = max(4 * l0, 512) if method == "inline" else cap
+            if scan_threshold is not None:
+                threshold = scan_threshold
+            else:
+                threshold = max(4 * l0, 512) if method == "inline" else cap
             if cnt <= threshold:
                 members = np.nonzero(np.asarray(acc_all))[0]
                 pad = max(1 << int(np.ceil(np.log2(max(len(members), 1)))),
@@ -941,23 +950,36 @@ class GraphIndex:
         sdef, sdata = full_precision_scorer(
             self.state.vectors, self.state.sq_norms, self.config.metric
         )
+        start = self._start()
 
-        def run(l):
+        def run(l, resume=None):
             return beam_search_scored(
-                sdef, sdata, self.state.adjacency, self._start(),
+                sdef, sdata, self.state.adjacency, start,
                 jnp.asarray(queries),
                 l_search=l, beam_width=w, max_hops=self.config.max_hops,
                 history_capacity=self.config.history_capacity(l),
                 accept_fn=accept_fn, accept_data=self.labels.bits,
                 filter_beta=beta, filter_mode=method,
+                resume_state=resume, return_state=True,
+                reseed_ring=resume is not None,
             )
 
-        res = run(l0)
+        res, scratch = run(l0)
         found = np.asarray((res.match_i >= 0).sum(axis=1))
         if adaptive_l and (found < k).any():
             # AdaptiveL (`inline_filter_search.rs:63-75`): estimate
-            # specificity from the first pass, rescale L log-style
-            spec = max(float(found.mean()) / max(l0, 1), 1e-4)
+            # specificity from the first pass, rescale L log-style — but
+            # RESUME the pass-1 scratch at the larger window (grown via
+            # `grow_resume_state`) instead of re-searching from the start
+            # points: expanded nodes stay expanded, the matched list
+            # carries over, and only the incremental frontier is walked
+            # (the reference's re-search pays the full cost again).
+            # specificity = encounter rate (matches found per node SCORED),
+            # not list fill: a small list fills from few matches while most
+            # of the walk sees non-matching nodes, which is exactly when a
+            # wider window pays off
+            cmps_sum = float(np.asarray(res.cmps).sum())
+            spec = max(float(found.sum()) / max(cmps_sum, 1.0), 1e-4)
             if spec >= 0.5:
                 scale = 1
             elif spec >= 0.1:
@@ -965,7 +987,15 @@ class GraphIndex:
             else:
                 scale = min(int(2 ** int(np.ceil(-np.log10(spec)))), max_l_scale)
             if scale > 1:
-                res = run(min(l0 * scale, 1024))
+                l1 = min(l0 * scale, 1024)
+                l_tot, _, h_new = search_geometry(
+                    l_search=l1, reserve=0, beam_width=w,
+                    r=self.state.adjacency.shape[1], s=start.shape[-1],
+                    history_capacity=self.config.history_capacity(l1),
+                )
+                res, scratch = run(
+                    l1, resume=grow_resume_state(scratch, l_tot, h_new)
+                )
 
         fd, fi = _filter_deleted(res.match_d, res.match_i, self.state.valid, k)
         stats = SearchStats(

@@ -78,6 +78,7 @@ def _drain_state(state, drain_ids):
     return ResumeState(
         best_d=bd, best_i=bi, best_exp=be, ring=state.ring,
         cmps=state.cmps, hops=state.hops,
+        match_d=state.match_d, match_i=state.match_i,
     )
 
 

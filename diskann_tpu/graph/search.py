@@ -101,6 +101,56 @@ class ResumeState(NamedTuple):
     ring: jax.Array        # [B, H]
     cmps: jax.Array        # [B]
     hops: jax.Array        # [B]
+    match_d: jax.Array     # [B, Lm] filtered-search matched list ([B,1] dummy)
+    match_i: jax.Array     # [B, Lm]
+
+
+def search_geometry(*, l_search: int, reserve: int, beam_width: int, r: int,
+                    s: int, expand_r: int | None = None,
+                    history_capacity: int = 0, dedup: str = "ring"):
+    """Static scratch shapes for a `beam_search_scored` call:
+    (total list width L, candidates/hop C, ring width H).  Exposed so
+    resume callers can pre-pad a ResumeState to a new configuration
+    (see `grow_resume_state`)."""
+    l = l_search + reserve
+    c = beam_width * (expand_r if expand_r is not None else r)
+    want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
+    ring_hops = max(2, -(-max(want_h - s, c) // c))
+    if dedup in ("list", "merge"):
+        ring_hops = 1  # minimal stub; the in_ring compare is skipped
+    return l, c, s + ring_hops * c
+
+
+def grow_resume_state(st: ResumeState, l_total: int,
+                      ring_width: int) -> ResumeState:
+    """Pad a ResumeState's scratch to a LARGER list/ring width so the
+    search can resume with a bigger L window (AdaptiveL re-search,
+    `inline_filter_search.rs:63-75`) instead of restarting: already-
+    expanded nodes stay expanded, the matched list carries over, and only
+    the incremental frontier is walked.  New slots are empty
+    (inf / -1 / expanded=1, appended at the sorted tail); the ring pads
+    with -1 (segment positions don't matter — membership compares scan
+    the full ring)."""
+    b, l_old = st.best_d.shape
+    dl = l_total - l_old
+    dh = ring_width - st.ring.shape[1]
+    assert dl >= 0 and dh >= 0, "resume states only grow"
+    if dl == 0 and dh == 0:
+        return st
+    pad = lambda a, n, v: jnp.pad(  # noqa: E731
+        a, ((0, 0), (0, n)), constant_values=v
+    )
+    has_match = st.match_d.shape[1] == l_old  # filtered search: Lm == L
+    return ResumeState(
+        best_d=pad(st.best_d, dl, jnp.inf),
+        best_i=pad(st.best_i, dl, -1),
+        best_exp=pad(st.best_exp, dl, 1),
+        ring=pad(st.ring, dh, -1),
+        cmps=st.cmps,
+        hops=st.hops,
+        match_d=pad(st.match_d, dl, jnp.inf) if has_match else st.match_d,
+        match_i=pad(st.match_i, dl, -1) if has_match else st.match_i,
+    )
 
 
 @partial(
@@ -121,6 +171,7 @@ class ResumeState(NamedTuple):
         "expand_r",
         "return_state",
         "reserve",
+        "reseed_ring",
     ),
 )
 def beam_search_scored(
@@ -147,6 +198,7 @@ def beam_search_scored(
     resume_state: ResumeState | None = None,  # continue a prior search
     return_state: bool = False,    # also return the final ResumeState
     reserve: int = 0,  # extra list slots beyond the active L window
+    reseed_ring: bool = False,  # resume: re-seed frontier from the ring
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
 
@@ -171,19 +223,17 @@ def beam_search_scored(
     # the first l_search entries (the reference's auto-resizable queue +
     # cursor-over-L, `neighbor/queue.rs:174-193` — the substrate that lets
     # paged search drain results and keep streaming)
-    l = l_search + reserve
+    l, c, h = search_geometry(
+        l_search=l_search, reserve=reserve, beam_width=w, r=r, s=s,
+        expand_r=expand_r, history_capacity=history_capacity, dedup=dedup,
+    )
     l_act = l_search
-    c = w * (expand_r if expand_r is not None else r)
     # ring: one segment for start ids + ring_hops segments of C scored ids
-    want_h = history_capacity if history_capacity > 0 else max(2048, 6 * l)
-    ring_hops = max(2, -(-max(want_h - s, c) // c))
-    if dedup in ("list", "merge"):
-        ring_hops = 1  # minimal stub; the in_ring compare is skipped
+    ring_hops = (h - s) // c
     if dedup == "merge":
         assert scorer_def.expand is not None and accept_fn is None, (
             "dedup='merge' needs an expand scorer and no filter"
         )
-    h = s + ring_hops * c
     p = pool_capacity if record_pool else 1
 
     q_ctx = scorer_def.prep(scorer_data, queries)
@@ -262,6 +312,56 @@ def beam_search_scored(
         init_i = resume_state.best_i
         init_exp = resume_state.best_exp
         ring = resume_state.ring
+        if accept_fn is not None and resume_state.match_d.shape[1] == lm:
+            # adaptive-L resume: the matched-only list carries over (start
+            # points are already in it — do NOT re-seed, that would dup them)
+            match_d = resume_state.match_d
+            match_i = resume_state.match_i
+        if reseed_ring:
+            # A CONVERGED prior pass has every list entry expanded, so a
+            # grown window alone gives no new frontier.  The scored-id ring
+            # holds every id the prior pass scored — including the ones that
+            # fell off its (smaller) list, which are exactly the candidates
+            # the wider window would have kept.  Re-score them and merge as
+            # UNEXPANDED entries (AdaptiveL resume; the reference re-searches
+            # from scratch instead, `inline_filter_search.rs:63-75`).
+            rid = jax.lax.sort(
+                jnp.where(ring >= 0, ring, _SENTINEL), dimension=-1
+            )
+            rdup = mask_duplicates_sorted(rid)
+            r_in_list = jnp.any(
+                rid[:, :, None] == init_i[:, None, :], axis=-1
+            )
+            rfresh = (rid != _SENTINEL) & ~rdup & ~r_in_list
+            rd = scorer_def.score(scorer_data, q_ctx, rid, rfresh)
+            rids = jnp.where(rfresh, rid, -1)
+            reseed_cmps = rfresh.astype(jnp.int32).sum(axis=1)
+            if accept_fn is not None:
+                racc = accept_fn(accept_data, rid, rfresh) & rfresh
+                mmd = jnp.concatenate(
+                    [match_d, jnp.where(racc, rd, jnp.inf)], axis=1
+                )
+                mmi = jnp.concatenate(
+                    [match_i, jnp.where(racc, rids, -1)], axis=1
+                )
+                mmd, mmi = jax.lax.sort(
+                    (mmd, mmi), dimension=-1, num_keys=1
+                )
+                match_d, match_i = mmd[:, :lm], mmi[:, :lm]
+                if filter_mode == "multihop":
+                    # multihop navigation admits accepted nodes only
+                    rd = jnp.where(racc, rd, jnp.inf)
+                    rids = jnp.where(racc, rids, -1)
+                else:
+                    rd = _beta_bias(rd, racc, filter_beta)
+            md = jnp.concatenate([init_d, rd], axis=1)
+            mi = jnp.concatenate([init_i, rids], axis=1)
+            me = jnp.concatenate(
+                [init_exp, jnp.where(rids >= 0, 0, 1).astype(jnp.int32)],
+                axis=1,
+            )
+            md, mi, me = jax.lax.sort((md, mi, me), dimension=-1, num_keys=1)
+            init_d, init_i, init_exp = md[:, :l], mi[:, :l], me[:, :l]
 
     state = SearchState(
         best_d=init_d,
@@ -274,7 +374,9 @@ def beam_search_scored(
         match_d=match_d,
         match_i=match_i,
         cmps=svalid.astype(jnp.int32).sum(axis=1)
-        if resume_state is None else resume_state.cmps,
+        if resume_state is None
+        else (resume_state.cmps + reseed_cmps if reseed_ring
+              else resume_state.cmps),
         hops=jnp.zeros((b,), jnp.int32)
         if resume_state is None else resume_state.hops,
     )
@@ -497,6 +599,7 @@ def beam_search_scored(
         return out, ResumeState(
             best_d=st.best_d, best_i=st.best_i, best_exp=st.best_exp,
             ring=st.ring, cmps=st.cmps, hops=st.hops,
+            match_d=st.match_d, match_i=st.match_i,
         )
     return out
 

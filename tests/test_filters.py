@@ -156,6 +156,37 @@ def test_labelset_many_labels_yfcc_scale(rng):
         assert 17 in ls.members(l)  # old rows survive the growth
 
 
+def test_adaptive_l_filtered_resume(rng):
+    """The adaptive-L second pass RESUMES the pass-1 scratch (grown window +
+    frontier re-seeded from the scored-id ring) instead of re-searching:
+    found counts strictly improve, cmps/hops accumulate across the resume,
+    and all results still honor the predicate."""
+    n, d = 3000, 16
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    a = rng.integers(0, 24, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=1024)
+    hot = np.random.default_rng(1).random(n) < 0.04
+    idx.attach_labels([["hot"] if h else ["cold"] for h in hot])
+    q = x[rng.choice(n, size=12, replace=False)] + 0.01
+    # scan_threshold=0 forces graph navigation (no posting-list escape hatch)
+    kw = dict(k=10, l_search=12, method="inline", scan_threshold=0)
+    _, fi0, s0 = idx.search_filtered(q, "hot", adaptive_l=False, **kw)
+    _, fi1, s1 = idx.search_filtered(q, "hot", adaptive_l=True, **kw)
+    f0 = (fi0 >= 0).sum(axis=1)
+    f1 = (fi1 >= 0).sum(axis=1)
+    assert (f0 < 10).any(), "fixture no longer triggers the adaptive pass"
+    assert (f1 >= f0).all(), (f1, f0)
+    assert f1.sum() > f0.sum() + len(q), (f1, f0)  # real recovery, not noise
+    ret = fi1[fi1 >= 0]
+    assert hot[ret].all()
+    # cmps/hops accumulate across the resume: strictly more work than pass 1
+    # alone, far less than pass1 + an equivalent from-scratch re-search
+    assert np.asarray(s1.cmps).sum() > np.asarray(s0.cmps).sum()
+    assert np.asarray(s1.hops).sum() > np.asarray(s0.hops).sum()
+
+
 def test_filtered_search_selective_predicate_adaptive_l(rng):
     """Adaptive-L at ~1% selectivity (weak spot flagged in round 1): the
     re-search at scaled L must recover matches the first pass misses."""

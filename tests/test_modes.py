@@ -73,6 +73,65 @@ def test_paged_search_resumes_incrementally(built):
     assert cmps_total < pages * 1200 / 2, cmps_total
 
 
+def test_grow_resume_state_larger_window(built):
+    """AdaptiveL substrate: grow the scratch to a larger L and resume —
+    results approach a fresh large-L search at a fraction of the extra
+    cmps (the resume must NOT re-walk pass-1 ground)."""
+    import jax.numpy as jnp
+
+    from diskann_tpu.graph.scorers import full_precision_scorer
+    from diskann_tpu.graph.search import (
+        beam_search_scored, grow_resume_state, search_geometry,
+    )
+
+    x, idx, rng = built
+    q = x[rng.integers(0, len(x), size=8)] + 0.01
+    sdef, sdata = full_precision_scorer(
+        idx.state.vectors, idx.state.sq_norms, idx.config.metric
+    )
+    start = idx._start()
+    kw = dict(beam_width=idx.config.beam_width, max_hops=idx.config.max_hops,
+              return_state=True)
+    l1, l2 = 16, 48
+    res1, st1 = beam_search_scored(
+        sdef, sdata, idx.state.adjacency, start, jnp.asarray(q),
+        l_search=l1, history_capacity=idx.config.history_capacity(l1), **kw
+    )
+    l_tot, _, h = search_geometry(
+        l_search=l2, reserve=0, beam_width=idx.config.beam_width,
+        r=idx.state.adjacency.shape[1], s=start.shape[-1],
+        history_capacity=idx.config.history_capacity(l2),
+    )
+    res2, _ = beam_search_scored(
+        sdef, sdata, idx.state.adjacency, start, jnp.asarray(q),
+        l_search=l2, history_capacity=idx.config.history_capacity(l2),
+        resume_state=grow_resume_state(st1, l_tot, h), **kw
+    )
+    fresh, _ = beam_search_scored(
+        sdef, sdata, idx.state.adjacency, start, jnp.asarray(q),
+        l_search=l2, history_capacity=idx.config.history_capacity(l2), **kw
+    )
+    k = 10
+    ids2 = np.asarray(res2.ids)
+    overlaps = []
+    for b in range(len(q)):
+        got = set(ids2[b, :k].tolist())
+        want = set(np.asarray(fresh.ids)[b, :k].tolist())
+        overlaps.append(len(got & want) / k)
+        # no duplicates across the resume boundary (ring + list carry over)
+        live = ids2[b][ids2[b] >= 0]
+        assert len(live) == len(set(live.tolist()))
+        # monotone improvement over pass 1
+        assert (np.asarray(res2.dists)[b, :l1]
+                <= np.asarray(res1.dists)[b, :l1] + 1e-6).all()
+    assert np.mean(overlaps) >= 0.8, overlaps
+    # incremental: cumulative resumed cmps < pass1 + a fresh L2 re-run
+    c1 = np.asarray(res1.cmps)
+    c2 = np.asarray(res2.cmps)
+    cf = np.asarray(fresh.cmps)
+    assert (c2 < c1 + cf).all(), (c2, c1, cf)
+
+
 def test_diverse_topk_device_matches_scalar_oracle(built):
     from diskann_tpu.graph.modes import diverse_topk
 
