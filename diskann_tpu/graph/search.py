@@ -428,28 +428,33 @@ def beam_search_scored(
                 scorer_data, q_ctx, beam_ids, beam_valid
             )                                       # ci -1 / cd inf = invalid
             # sort by (d, id, is_new): a duplicated id carries a bitwise-
-            # identical distance, so its copies land adjacent (old first)
+            # identical distance, so its copies land adjacent (old first).
+            # The (id, is_new, expanded) triple rides ONE i32 word
+            # (id*4 | is_new*2 | expanded) so the multi-operand sorts move
+            # 2 operands instead of 4 — sort cost scales with operand
+            # bytes, and these merges dominate the non-DMA hop time.
+            # (-1 ids pack to -1 and unpack to (-1, 1, 1) — sign-safe.)
             md = jnp.concatenate([st.best_d, cd], axis=1)
-            mi = jnp.concatenate([st.best_i, ci], axis=1)
-            fl = jnp.concatenate(
-                [jnp.zeros((b, l), jnp.int32), jnp.ones((b, c), jnp.int32)],
+            key = jnp.concatenate(
+                [st.best_i * 4 + best_exp,
+                 ci * 4 + 2],                       # fresh: is_new=1, exp=0
                 axis=1,
             )
-            me = jnp.concatenate(
-                [best_exp, jnp.zeros((b, c), jnp.int32)], axis=1
-            )
-            md, mi, fl, me = jax.lax.sort(
-                (md, mi, fl, me), dimension=-1, num_keys=3
-            )
+            md, key = jax.lax.sort((md, key), dimension=-1, num_keys=2)
+            mi = key >> 2
             prev = jnp.concatenate(
                 [jnp.full((b, 1), -2, jnp.int32), mi[:, :-1]], axis=1
             )
             dup = (mi == prev) & (mi >= 0)
-            fresh_n = ((fl == 1) & ~dup & (mi >= 0)).astype(jnp.int32).sum(axis=1)
+            fresh_n = (
+                ((key & 2) == 2) & ~dup & (mi >= 0)
+            ).astype(jnp.int32).sum(axis=1)
             md = jnp.where(dup, jnp.inf, md)
-            mi = jnp.where(dup, -1, mi)
-            me = jnp.where(dup, 1, me)
-            md, mi, me = jax.lax.sort((md, mi, me), dimension=-1, num_keys=1)
+            # re-pack (id, expanded) for the truncation sort; dups -> -1/1
+            key2 = jnp.where(dup, jnp.int32(-1), mi * 2 + (key & 1))
+            md, key2 = jax.lax.sort((md, key2), dimension=-1, num_keys=1)
+            mi = key2 >> 1
+            me = key2 & 1
             new_st = SearchState(
                 best_d=md[:, :l],
                 best_i=mi[:, :l],
