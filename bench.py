@@ -142,9 +142,11 @@ def main():
     # hop cap: measured on the 1M bench index, recall saturates by ~10 hops
     # at W=4 with router starts (free-running converges at ~91 hops for
     # +0.0005 recall; mh=10/9/8 all hold recall@L=90 >= 0.9527,
-    # /tmp/r2_qps6.log).  Each capped hop saves expansion DMA + sorts +
-    # the ~0.5ms iteration floor.  BENCH_MAXHOPS=-1 disables.
-    max_hops = int(os.environ.get("BENCH_MAXHOPS", 10))
+    # /tmp/r2_qps6.log; mh=9 beat mh=10 by ~10% QPS at identical recall in
+    # two same-process sweeps, /tmp/r2c_qps1.json /tmp/r2d_qps1.json).
+    # Each capped hop saves expansion DMA + sorts + the ~0.5ms iteration
+    # floor.  BENCH_MAXHOPS=-1 disables.
+    max_hops = int(os.environ.get("BENCH_MAXHOPS", 9))
     max_hops = None if max_hops <= 0 else max_hops
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     l_sweep = tuple(

@@ -99,8 +99,10 @@ class GraphConfig:
     # 250k/4096-cluster synthetic: router_size=8192 (Poisson ~2 samples
     # per cluster, 13.5% clusters unsampled) capped recall at 0.983
     # regardless of graph degree or L; the matmul is one MXU op, so a
-    # 32k sample costs ~nothing and drops the unsampled share to e^-8.
-    router_size: int = 32768
+    # 64k sample costs ~nothing and drops the unsampled share to e^-16.
+    # (64k beat 32k by ~6-12% QPS at identical recall on the 1M bench —
+    # better starts save a hop — /tmp/r2c_qps1.json.)
+    router_size: int = 65536
     router_starts: int = 4
 
     def __post_init__(self):
