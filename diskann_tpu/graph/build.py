@@ -333,12 +333,11 @@ def insert_batch(
     t_row = adjacency[jnp.clip(t_u, 0, cap - 1)]                 # [U, R_slack]
     pool_ids = jnp.concatenate([t_row, g_src], axis=1)           # [U, R_slack+K]
     t_vec = state.vectors[jnp.clip(t_u, 0, cap - 1)]
-    pv = state.vectors[jnp.clip(pool_ids, 0, cap - 1)]
-    pool_d = pairwise_distance(t_vec[:, None, :], pv, metric)[:, 0, :]
-    pool_d = jnp.where(pool_ids >= 0, pool_d, jnp.inf)
-
+    # cand_dists=None: the prune recomputes d(t, pool) from the SAME pool
+    # gather its occlusion scan needs anyway — precomputing here would pay
+    # the row-issue-bound [U, P, d] vector gather twice (~70ns/row)
     rp_ids, _rp_d, rp_n = chunked_robust_prune(
-        state.vectors, t_vec, pool_ids, pool_d, t_u, config,
+        state.vectors, t_vec, pool_ids, None, t_u, config,
         degree=r, chunk=prune_chunk,
     )
     rp_rows = jnp.pad(rp_ids, ((0, 0), (0, r_slack - r)), constant_values=-1)

@@ -127,6 +127,26 @@ def main():
             dataclasses.replace(mh24, max_occlusion_size=256),
             {"pool_capacity": 256}),
     }
+    # production bench shape: router-seeded searches converge by ~12 hops
+    prod = dataclasses.replace(
+        base, build_max_hops=12, max_occlusion_size=256)
+    ablations.update({
+        "prod": (prod, {}),
+        "prod_noib": (
+            dataclasses.replace(prod, intra_batch_candidates=0), {}),
+        "prod_ib256": (
+            dataclasses.replace(prod, intra_batch_candidates=256), {}),
+        "prod_occ192": (
+            dataclasses.replace(prod, max_occlusion_size=192), {}),
+        "prod_occ128": (
+            dataclasses.replace(prod, max_occlusion_size=128), {}),
+        "prod_pool256": (prod, {"pool_capacity": 256}),
+        "prod_be32": (
+            dataclasses.replace(prod, max_backedges=32), {}),
+        "prod_bsc32": (prod, {"backedge_src_cap": 32}),
+        "prod_mh8": (
+            dataclasses.replace(prod, build_max_hops=8), {}),
+    })
     names = json.loads(os.environ.get(
         "PI_ABLATIONS", '["base","mh32","mh24","mh16","mh24_noib"]'
     ))
