@@ -15,12 +15,33 @@ Env knobs: BENCH_N (default 1_000_000), BENCH_NQ (8192), BENCH_MODE
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LOG = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+
+class _Watchdog:
+    """SIGALRM guard around relay-bound steps: the shared-TPU relay has been
+    observed to wedge indefinitely (a blocked RPC never returns), which
+    would otherwise hang the whole bench without emitting its JSON line."""
+
+    def __init__(self, seconds, what):
+        self.seconds, self.what = seconds, what
+
+    def __enter__(self):
+        def _raise(*_):
+            raise TimeoutError(f"{self.what} exceeded {self.seconds}s")
+
+        signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        return False
 
 
 def main():
@@ -57,7 +78,10 @@ def main():
 
     LOG(f"[bench] generating clustered data n={n} d={d} nq={nq} (on device)")
     t0 = time.time()
-    x, q = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35, device=True)
+    with _Watchdog(2400, "data generation"):
+        x, q = make_clustered(
+            0, n, nq, d, n_clusters=4096, sigma=0.35, device=True
+        )
     LOG(f"[bench] data ready in {time.time()-t0:.1f}s")
 
     # Cache key includes every data-generation parameter so changing the
@@ -72,9 +96,10 @@ def main():
     else:
         LOG("[bench] computing exact groundtruth (flat scan)")
         t0 = time.time()
-        flat = FlatIndex(x, Metric.L2)
-        _, gt = flat.search(np.asarray(q), k=k)
-        gt = np.asarray(gt)
+        with _Watchdog(2400, "groundtruth scan"):
+            flat = FlatIndex(x, Metric.L2)
+            _, gt = flat.search(np.asarray(q), k=k)
+            gt = np.asarray(gt)
         LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
         np.save(gt_cache, gt)
         del flat
@@ -118,11 +143,12 @@ def main():
             x = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35,
                                device=True)[0]
         t0 = time.time()
-        idx = GraphIndex.build(
-            x, cfg, insert_batch_size=8192, search_batch_size=sbs,
-            build_mode="packed", packed_dp=64,
-            build_backedge_src_cap=int(os.environ.get("BENCH_BSC", 64)),
-        )
+        with _Watchdog(7200, "index build"):
+            idx = GraphIndex.build(
+                x, cfg, insert_batch_size=8192, search_batch_size=sbs,
+                build_mode="packed", packed_dp=64,
+                build_backedge_src_cap=int(os.environ.get("BENCH_BSC", 64)),
+            )
         build_s = time.time() - t0
         x = None  # free the 520MB device copy before the search sweep
         pts_per_s = n / build_s
@@ -157,15 +183,23 @@ def main():
     best = None
     sweep = []
     for l in l_sweep:
-        idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
-                   rerank_l=rerank_l, fused=fused, query_dtype=query_dtype,
-                   max_hops=max_hops)  # compile at full batch shape
-        t0 = time.time()
-        _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
-                                   beam_width=sw, rerank_l=rerank_l,
-                                   max_hops=max_hops, fused=fused,
-                                   query_dtype=query_dtype)
-        dt = time.time() - t0
+        try:
+            with _Watchdog(1500, f"search sweep point L={l}"):
+                idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
+                           rerank_l=rerank_l, fused=fused,
+                           query_dtype=query_dtype,
+                           max_hops=max_hops)  # compile at full batch shape
+                t0 = time.time()
+                _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
+                                           beam_width=sw, rerank_l=rerank_l,
+                                           max_hops=max_hops, fused=fused,
+                                           query_dtype=query_dtype)
+                dt = time.time() - t0
+        except TimeoutError as te:
+            # wedged relay: report what the sweep has so far rather than
+            # hanging the round's bench artifact
+            LOG(f"[bench] {te}; reporting partial sweep")
+            break
         r = knn_recall(ids, gt, k)
         qps = nq / dt
         sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps)})
@@ -176,6 +210,8 @@ def main():
         if r >= 0.999:
             break
 
+    if not sweep:
+        raise TimeoutError("no sweep point completed (wedged relay?)")
     if best is None:
         # report the highest-recall point (still useful signal)
         top = max(sweep, key=lambda s: s["recall"])

@@ -146,6 +146,16 @@ def insert_batch(
     new_vecs = jnp.where(row_valid[:, None], new_vecs, 0.0)
     new_ids = jnp.where(row_valid, slot_ids, -1).astype(jnp.int32)
 
+    # The pool records W beam nodes per hop, so a hop-capped candidate
+    # search can never fill more than mh*W slots — right-size it (rounded
+    # to the 128 f32 lane tile) instead of carrying the default width
+    # through the phase-2 concat + occlusion-cap sort
+    mh_eff = config.build_max_hops or config.max_hops
+    pool_capacity = min(
+        pool_capacity,
+        max(-(-mh_eff * config.beam_width // 128) * 128, 128),
+    )
+
     # ---------------- phase 1: set elements ----------------
     state = set_vectors(state, slot_ids, new_vecs, row_valid=row_valid)
     if packed is not None:
