@@ -80,6 +80,14 @@ def get_lib():
     ]
     lib.hio_pipe_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.hio_pipe_destroy.argtypes = [ctypes.c_void_p]
+    lib.hio_uring_create.restype = ctypes.c_void_p
+    lib.hio_uring_create.argtypes = [ctypes.c_int64]
+    lib.hio_uring_gather.restype = ctypes.c_int64
+    lib.hio_uring_gather.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.hio_uring_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -88,7 +96,8 @@ class NativeVectorFile:
     """mmap'd [n][dim] binary file with native batched row gather + LRU cache."""
 
     def __init__(self, path: str, elem_size: int = 4, *, cache_rows: int = 0,
-                 threads: int | None = None):
+                 threads: int | None = None, uring: bool = False,
+                 uring_depth: int = 256):
         import numpy as np
 
         lib = get_lib()
@@ -106,7 +115,18 @@ class NativeVectorFile:
         self._cache = (
             lib.hio_cache_create(self._h, cache_rows) if cache_rows else None
         )
+        # io_uring batched reads (reference `platform/linux.rs` analogue):
+        # wins on SSD cold reads; mmap+memcpy wins when page-cache-resident.
+        # Creation probes the kernel — containers commonly disable the
+        # syscalls, in which case gathers silently use the mmap path.
+        self._uring = (
+            lib.hio_uring_create(uring_depth) if uring else None
+        ) or None
         self._np = np
+
+    @property
+    def uring_active(self) -> bool:
+        return self._uring is not None
 
     def gather(self, ids) -> "np.ndarray":
         np = self._np
@@ -119,6 +139,16 @@ class NativeVectorFile:
                 ids.ctypes.data_as(ctypes.c_void_p), ids.size,
                 out.ctypes.data_as(ctypes.c_void_p),
             )
+        elif self._uring is not None:
+            rc = self._lib.hio_uring_gather(
+                self._uring, self._h, ids.ctypes.data_as(ctypes.c_void_p),
+                ids.size, out.ctypes.data_as(ctypes.c_void_p),
+            )
+            if rc != 0:  # ring failure mid-flight: mmap path still works
+                self._lib.hio_gather(
+                    self._h, ids.ctypes.data_as(ctypes.c_void_p), ids.size,
+                    out.ctypes.data_as(ctypes.c_void_p), self.threads,
+                )
         else:
             self._lib.hio_gather(
                 self._h, ids.ctypes.data_as(ctypes.c_void_p), ids.size,
@@ -159,6 +189,9 @@ class NativeVectorFile:
     _pipe = None
 
     def close(self):
+        if self._uring:
+            self._lib.hio_uring_destroy(self._uring)
+            self._uring = None
         if self._pipe:
             self._lib.hio_pipe_destroy(self._pipe)
             self._pipe = None

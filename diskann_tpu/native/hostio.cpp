@@ -22,8 +22,10 @@
 #include <vector>
 
 #include <fcntl.h>
+#include <linux/io_uring.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <sys/syscall.h>
 #include <unistd.h>
 
 namespace {
@@ -197,6 +199,161 @@ struct Pipe {
     }
 };
 
+// ---- io_uring batched reads (raw syscalls; no liburing in the image) ----
+//
+// The reference's Linux disk path submits batched sector reads through
+// io_uring (`diskann-disk/src/platform/linux.rs`).  This is the same
+// mechanism against the row file: one ring, waves of IORING_OP_READ sqes,
+// completions drained in bulk.  mmap+memcpy wins when the file is page-
+// cache-resident (this host), io_uring wins on real SSD cold reads; both
+// paths share the clamp/row semantics.  Containers often disable the
+// io_uring syscalls, so creation probes and callers must fall back.
+
+static int sys_io_uring_setup(unsigned entries, io_uring_params* p) {
+    return (int)syscall(__NR_io_uring_setup, entries, p);
+}
+static int sys_io_uring_enter(int fd, unsigned to_submit,
+                              unsigned min_complete, unsigned flags) {
+    return (int)syscall(__NR_io_uring_enter, fd, to_submit, min_complete,
+                        flags, nullptr, 0);
+}
+
+namespace {
+
+struct Uring {
+    int ring_fd = -1;
+    unsigned depth = 0;
+    void* sq_mm = nullptr;
+    size_t sq_len = 0;
+    void* cq_mm = nullptr;      // == sq_mm under IORING_FEAT_SINGLE_MMAP
+    size_t cq_len = 0;
+    io_uring_sqe* sqes = nullptr;
+    size_t sqes_len = 0;
+    unsigned* sq_head = nullptr;
+    unsigned* sq_tail = nullptr;
+    unsigned* sq_mask = nullptr;
+    unsigned* sq_array = nullptr;
+    unsigned* cq_head = nullptr;
+    unsigned* cq_tail = nullptr;
+    unsigned* cq_mask = nullptr;
+    io_uring_cqe* cqes = nullptr;
+    std::mutex mu;   // one gather at a time per ring
+
+    ~Uring() {
+        if (sqes) munmap(sqes, sqes_len);
+        if (cq_mm && cq_mm != sq_mm) munmap(cq_mm, cq_len);
+        if (sq_mm) munmap(sq_mm, sq_len);
+        if (ring_fd >= 0) ::close(ring_fd);
+    }
+};
+
+Uring* uring_create(unsigned depth) {
+    io_uring_params p;
+    std::memset(&p, 0, sizeof(p));
+    int fd = sys_io_uring_setup(depth, &p);
+    if (fd < 0) return nullptr;   // kernel/seccomp refused: caller falls back
+    auto* u = new Uring();
+    u->ring_fd = fd;
+    u->depth = p.sq_entries;
+    u->sq_len = p.sq_off.array + p.sq_entries * sizeof(unsigned);
+    u->cq_len = p.cq_off.cqes + p.cq_entries * sizeof(io_uring_cqe);
+    if (p.features & IORING_FEAT_SINGLE_MMAP) {
+        u->sq_len = u->cq_len = std::max(u->sq_len, u->cq_len);
+    }
+    u->sq_mm = mmap(nullptr, u->sq_len, PROT_READ | PROT_WRITE,
+                    MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_SQ_RING);
+    if (u->sq_mm == MAP_FAILED) { u->sq_mm = nullptr; delete u; return nullptr; }
+    if (p.features & IORING_FEAT_SINGLE_MMAP) {
+        u->cq_mm = u->sq_mm;
+    } else {
+        u->cq_mm = mmap(nullptr, u->cq_len, PROT_READ | PROT_WRITE,
+                        MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_CQ_RING);
+        if (u->cq_mm == MAP_FAILED) { u->cq_mm = nullptr; delete u; return nullptr; }
+    }
+    u->sqes_len = p.sq_entries * sizeof(io_uring_sqe);
+    u->sqes = (io_uring_sqe*)mmap(nullptr, u->sqes_len,
+                                  PROT_READ | PROT_WRITE,
+                                  MAP_SHARED | MAP_POPULATE, fd,
+                                  IORING_OFF_SQES);
+    if (u->sqes == MAP_FAILED) { u->sqes = nullptr; delete u; return nullptr; }
+    auto* sqb = (uint8_t*)u->sq_mm;
+    u->sq_head = (unsigned*)(sqb + p.sq_off.head);
+    u->sq_tail = (unsigned*)(sqb + p.sq_off.tail);
+    u->sq_mask = (unsigned*)(sqb + p.sq_off.ring_mask);
+    u->sq_array = (unsigned*)(sqb + p.sq_off.array);
+    auto* cqb = (uint8_t*)u->cq_mm;
+    u->cq_head = (unsigned*)(cqb + p.cq_off.head);
+    u->cq_tail = (unsigned*)(cqb + p.cq_off.tail);
+    u->cq_mask = (unsigned*)(cqb + p.cq_off.ring_mask);
+    u->cqes = (io_uring_cqe*)(cqb + p.cq_off.cqes);
+    return u;
+}
+
+// Gather rows via waves of IORING_OP_READ.  Returns 0 on success, -1 on a
+// ring failure (caller should fall back to hio_gather).  Short/failed reads
+// are repaired with pread so the output is always fully populated.
+int uring_gather(Uring* u, const File* f, const int64_t* ids, int64_t count,
+                 uint8_t* out) {
+    std::lock_guard<std::mutex> lock(u->mu);
+    const int64_t rb = f->row_bytes;
+    const unsigned mask = *u->sq_mask;
+    int64_t next = 0;       // next row to submit
+    int64_t done = 0;       // completions drained
+    while (done < count) {
+        // fill the ring
+        unsigned head =
+            __atomic_load_n(u->sq_head, __ATOMIC_ACQUIRE);
+        unsigned tail = *u->sq_tail;
+        unsigned space = u->depth - (tail - head);
+        unsigned batch = 0;
+        while (batch < space && next < count) {
+            int64_t id = ids[next];
+            if (id < 0) id = 0;
+            if (id >= f->n) id = f->n - 1;
+            unsigned idx = (tail + batch) & mask;
+            io_uring_sqe* sqe = &u->sqes[idx];
+            std::memset(sqe, 0, sizeof(*sqe));
+            sqe->opcode = IORING_OP_READ;
+            sqe->fd = f->fd;
+            sqe->addr = (uint64_t)(out + next * rb);
+            sqe->len = (unsigned)rb;
+            sqe->off = (uint64_t)(8 + id * rb);   // skip [n][dim] header
+            sqe->user_data = (uint64_t)next;
+            u->sq_array[idx] = idx;
+            ++batch;
+            ++next;
+        }
+        __atomic_store_n(u->sq_tail, tail + batch, __ATOMIC_RELEASE);
+        unsigned want = (unsigned)std::min<int64_t>(next - done, 1);
+        int r = sys_io_uring_enter(u->ring_fd, batch, want,
+                                   IORING_ENTER_GETEVENTS);
+        if (r < 0) return -1;
+        // drain completions
+        unsigned chead = *u->cq_head;
+        unsigned ctail = __atomic_load_n(u->cq_tail, __ATOMIC_ACQUIRE);
+        const unsigned cmask = *u->cq_mask;
+        while (chead != ctail) {
+            const io_uring_cqe* cqe = &u->cqes[chead & cmask];
+            int64_t i = (int64_t)cqe->user_data;
+            if (cqe->res != (int32_t)rb) {
+                // short read / error: repair synchronously
+                int64_t id = ids[i];
+                if (id < 0) id = 0;
+                if (id >= f->n) id = f->n - 1;
+                if (pread(f->fd, out + i * rb, rb, 8 + id * rb) != rb) {
+                    std::memcpy(out + i * rb, f->base + id * rb, rb);
+                }
+            }
+            ++chead;
+            ++done;
+        }
+        __atomic_store_n(u->cq_head, chead, __ATOMIC_RELEASE);
+    }
+    return 0;
+}
+
+}  // namespace
+
 }  // namespace
 
 extern "C" {
@@ -299,5 +456,19 @@ int64_t hio_pipe_submit(void* p, void* h, const int64_t* ids, int64_t count,
 
 void hio_pipe_wait(void* p, int64_t ticket) { ((Pipe*)p)->wait(ticket); }
 void hio_pipe_destroy(void* p) { delete (Pipe*)p; }
+
+// ---- io_uring reader (reference linux.rs analogue; probes at create) ----
+void* hio_uring_create(int64_t depth) {
+    if (depth < 1) depth = 256;
+    return uring_create((unsigned)depth);
+}
+
+// 0 = ok, -1 = ring failure (fall back to hio_gather)
+int64_t hio_uring_gather(void* u, void* h, const int64_t* ids, int64_t count,
+                         uint8_t* out) {
+    return uring_gather((Uring*)u, (File*)h, ids, count, out);
+}
+
+void hio_uring_destroy(void* u) { delete (Uring*)u; }
 
 }  // extern "C"

@@ -73,6 +73,34 @@ def test_native_hostio(tmp_path, rng):
     nf.close()
 
 
+def test_native_hostio_uring(tmp_path, rng):
+    """io_uring batched-read path (reference `platform/linux.rs` analogue):
+    same gather semantics as the mmap path, including id clamping.  Skips
+    where the kernel/seccomp disables the io_uring syscalls."""
+    from diskann_tpu.io_.fbin import write_fbin
+    from diskann_tpu.native import NativeVectorFile, get_lib
+
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    x = rng.standard_normal((300, 24)).astype(np.float32)
+    p = str(tmp_path / "v.fbin")
+    write_fbin(p, x)
+    nf = NativeVectorFile(p, 4, uring=True, uring_depth=64)
+    if not nf.uring_active:
+        nf.close()
+        pytest.skip("io_uring unavailable in this sandbox")
+    ids = rng.integers(0, 300, size=1000)
+    got = nf.gather(ids)
+    np.testing.assert_allclose(got, x[ids])
+    # clamping matches the mmap path
+    got2 = nf.gather(np.array([-5, 0, 299, 10_000]))
+    np.testing.assert_allclose(got2, x[[0, 0, 299, 299]])
+    # more rows than ring depth in one call (multi-wave submit)
+    big = rng.integers(0, 300, size=5000)
+    np.testing.assert_allclose(nf.gather(big), x[big])
+    nf.close()
+
+
 def test_tiered_uses_native_when_file_backed(tmp_path, rng):
     from diskann_tpu.io_.fbin import write_fbin
 
