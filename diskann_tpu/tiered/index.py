@@ -41,11 +41,19 @@ class HostVectorStore:
         self.source_path: str | None = None
 
     @classmethod
-    def from_fbin(cls, path: str, *, cache_rows: int = 0):
+    def from_fbin(cls, path: str, *, cache_rows: int = 0,
+                  uring: bool | None = None):
+        """uring=True opts the file into io_uring batched reads (right for
+        SSD cold reads; mmap wins page-cache-resident).  Default: env
+        DISKANN_URING=1.  Silently degrades where the kernel refuses."""
+        if uring is None:
+            import os as _os
+
+            uring = _os.environ.get("DISKANN_URING") == "1"
         try:
             from diskann_tpu.native import NativeVectorFile
 
-            nf = NativeVectorFile(path, 4, cache_rows=cache_rows)
+            nf = NativeVectorFile(path, 4, cache_rows=cache_rows, uring=uring)
             self = cls.__new__(cls)
             self.vectors = None
             self.n, self.dim = nf.n, nf.dim
