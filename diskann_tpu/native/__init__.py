@@ -25,14 +25,24 @@ _tried = False
 
 
 def _compile() -> bool:
+    # Build to a temp path and rename: g++ -o truncates the target in
+    # place (same inode), which segfaults any LIVE process that has the
+    # old .so mmap'd.  rename() swaps the directory entry atomically and
+    # old mappings keep their (now-anonymous) inode.
+    tmp = f"{_SO}.tmp.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, _SRC, "-lpthread"],
+             "-o", tmp, _SRC, "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
