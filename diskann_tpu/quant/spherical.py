@@ -93,9 +93,20 @@ class SphericalQuantizer(NamedTuple):
         return qsq + (pc.norms**2)[None, :] - 2.0 * dot_qy
 
 
-def train_spherical(key: jax.Array, dim: int, n_bits: int = 8) -> SphericalQuantizer:
-    """Random orthogonal rotation via QR of a gaussian matrix (the matmul
-    equivalent of the reference's padded-Hadamard transform)."""
+def train_spherical(key: jax.Array, dim: int, n_bits: int = 8,
+                    rotation: str = "qr") -> SphericalQuantizer:
+    """Random distance-preserving rotation.
+
+    rotation="qr": dense orthogonal via QR of a gaussian matrix.
+    rotation="hadamard": randomized padded double-Hadamard
+    (`algorithms/hadamard.rs` / `transforms/*`), materialized to a
+    [dim, dim_pad] matrix so encode/search stay on the MXU matmul path;
+    codes get dim_pad (next pow2) dims."""
+    if rotation == "hadamard":
+        from diskann_tpu.quant.transforms import train_randomized_hadamard
+
+        t = train_randomized_hadamard(key, dim)
+        return SphericalQuantizer(rotation=t.as_matrix(), n_bits=n_bits)
     g = jax.random.normal(key, (dim, dim), jnp.float32)
     q, r = jnp.linalg.qr(g)
     # fix signs for a uniform rotation

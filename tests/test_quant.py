@@ -97,6 +97,49 @@ def test_spherical_preserves_distances(rng):
     np.testing.assert_allclose(r @ r.T, np.eye(32), atol=1e-4)
 
 
+def test_fwht_orthonormal_self_inverse(rng):
+    from diskann_tpu.quant.transforms import fwht
+
+    x = rng.standard_normal((20, 64)).astype(np.float32)
+    y = np.asarray(fwht(x))
+    # orthonormal: norms and pairwise inner products preserved
+    np.testing.assert_allclose(
+        (y * y).sum(1), (x * x).sum(1), rtol=1e-5
+    )
+    np.testing.assert_allclose(y @ y.T, x @ x.T, atol=1e-3)
+    # self-inverse (normalized)
+    np.testing.assert_allclose(np.asarray(fwht(y)), x, atol=1e-5)
+
+
+def test_randomized_hadamard_transform(rng):
+    """Padded randomized Hadamard (`algorithms/hadamard.rs`,
+    `transforms/*`): norm-preserving dim->next-pow2 map, exact inverse,
+    and the materialized matrix matches the butterfly path."""
+    from diskann_tpu.quant.transforms import train_randomized_hadamard
+
+    t = train_randomized_hadamard(jax.random.key(0), 24)
+    assert t.dim_pad == 32
+    x = rng.standard_normal((50, 24)).astype(np.float32)
+    y = np.asarray(t.forward(x))
+    assert y.shape == (50, 32)
+    np.testing.assert_allclose((y * y).sum(1), (x * x).sum(1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t.inverse(y)), x, atol=1e-5)
+    m = np.asarray(t.as_matrix())
+    np.testing.assert_allclose(m @ m.T, np.eye(24), atol=1e-4)
+    np.testing.assert_allclose(x @ m, y, atol=1e-4)
+
+
+def test_spherical_hadamard_rotation(rng):
+    x = rng.standard_normal((200, 24)).astype(np.float32)
+    sph = train_spherical(jax.random.key(3), 24, n_bits=8,
+                          rotation="hadamard")
+    assert sph.rotation.shape == (24, 32)  # padded to next pow2
+    sc = sph.encode(x)
+    rec = np.asarray(sph.decode(sc))
+    rel = np.linalg.norm(rec - x) / np.linalg.norm(x)
+    assert rel < 0.02, rel
+
+
 def test_binary_hamming(rng):
     x = rng.standard_normal((50, 40)).astype(np.float32)
     bq = BinaryQuantizer(dim=40)
