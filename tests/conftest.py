@@ -28,3 +28,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xD15CA)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA's CPU compiler has been observed to segfault (LLVM crash inside
+    backend_compile_and_load) only after ~100 tests' worth of accumulated
+    jit executables — the same compile succeeds in a fresh process.
+    Dropping the in-process caches at module boundaries bounds that state;
+    the cost is re-compiling shared helpers once per module."""
+    yield
+    jax.clear_caches()
