@@ -243,6 +243,7 @@ if __name__ == "__main__":
         main()
     except Exception as e:  # degrade rather than report nothing
         LOG(f"[bench] FAILED at full scale: {type(e).__name__}: {e}")
+        err = f"{type(e).__name__}: {e}"
         # drop the exception's traceback BEFORE retrying: its frames pin
         # the failed run's device buffers (the 1M index!) in HBM
         del e
@@ -255,6 +256,20 @@ if __name__ == "__main__":
             )
             os.environ["BENCH_RETRY"] = "0"
             LOG(f"[bench] retrying at n={os.environ['BENCH_N']}")
-            main()
+            try:
+                main()
+            except Exception as e2:
+                err = f"{err}; retry: {type(e2).__name__}: {e2}"
+                print(json.dumps({
+                    "metric": "qps_at_recall0.95_1M_128d_packed",
+                    "value": 0, "unit": "qps", "vs_baseline": 0,
+                    "extra": {"error": err},
+                }), flush=True)
+                raise
         else:
+            print(json.dumps({
+                "metric": "qps_at_recall0.95_1M_128d_packed",
+                "value": 0, "unit": "qps", "vs_baseline": 0,
+                "extra": {"error": err},
+            }), flush=True)
             raise
