@@ -86,6 +86,67 @@ def occlude_list(
     return [ids[i] for i in selected]
 
 
+def greedy_filter_search(vectors, adjacency, start, query, l, accept,
+                         beta=0.5, metric="l2"):
+    """Scalar inline beta-filter search (InlineFilterSearch semantics,
+    `diskann-label-filter/src/inline_beta_search/*`, FILTER_BETA
+    `defaults.rs:41`), beam_width=1:
+
+    - navigation list of size l holds ALL scored nodes, with ACCEPTED
+      nodes' distances biased toward the query (positive d -> d*beta,
+      negative d -> d/beta, computed in f32 to match the device);
+    - a separate matched-only list of size l holds accepted nodes at
+      their TRUE distances;
+    - expansion/termination identical to plain greedy search.
+
+    Returns (matched ids ascending by true distance, nav ids, n_cmps)."""
+    f32 = np.float32
+    scored = {}
+
+    def d(i):
+        if i not in scored:
+            scored[i] = dist(query, vectors[i], metric)
+        return scored[i]
+
+    def bias(td, acc):
+        if not acc or beta == 1.0:
+            return td
+        t = f32(td)
+        return float(t * f32(beta)) if td >= 0 else float(t / f32(beta))
+
+    cmps = 0
+    nav, match = [], []
+    for s in sorted(set(start)):
+        td = d(s)
+        cmps += 1
+        acc = bool(accept(s))
+        nav.append((bias(td, acc), s))
+        if acc:
+            match.append((td, s))
+    nav = sorted(nav)[:l]
+    match = sorted(match)[:l]
+    expanded = set()
+    while True:
+        cur = next((i for _, i in nav if i not in expanded), None)
+        if cur is None:
+            break
+        expanded.add(cur)
+        new = []
+        for nb in adjacency[cur]:
+            nb = int(nb)
+            if nb < 0 or nb in scored:
+                continue
+            td = d(nb)
+            cmps += 1
+            acc = bool(accept(nb))
+            new.append((bias(td, acc), nb))
+            if acc:
+                match.append((td, nb))
+        nav = sorted(nav + new)[:l]
+        match = sorted(match)[:l]
+    return [i for _, i in match], [i for _, i in nav], cmps
+
+
 def greedy_search(vectors, adjacency, start, query, l, metric="l2"):
     """Scalar best-first search with an L-sized sorted list (search_internal
     semantics, beam_width=1). Returns (ids sorted by distance, n_cmps)."""

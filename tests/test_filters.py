@@ -156,6 +156,52 @@ def test_labelset_many_labels_yfcc_scale(rng):
         assert 17 in ls.members(l)  # old rows survive the growth
 
 
+def test_inline_filter_matches_scalar_oracle(rng):
+    """Exact parity of the inline beta-filter search against the scalar
+    oracle (`reference_impl.greedy_filter_search`): matched ids, nav-list
+    ids, and cmps counts, at beam_width=1 with an exact visited ring."""
+    from diskann_tpu.graph.scorers import full_precision_scorer
+    from diskann_tpu.graph.search import beam_search_scored
+    from reference_impl import greedy_filter_search
+
+    n, d, r, l = 200, 8, 6, 12
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = np.full((n, r), -1, np.int32)
+    for i in range(n):
+        ch = rng.choice(n - 1, size=r, replace=False)
+        ch[ch >= i] += 1
+        adj[i] = ch
+    hot = rng.random(n) < 0.3
+    hot[0] = True  # start point accepted in at least one case
+    ls = LabelSet.from_lists(
+        [["hot"] if h else ["cold"] for h in hot], capacity=n
+    )
+    accept_fn = compile_accept(parse_predicate("hot"), ls.vocab, n)
+    queries = rng.standard_normal((4, d)).astype(np.float32)
+    sdef, sdata = full_precision_scorer(
+        jnp.asarray(vectors),
+        jnp.asarray((vectors * vectors).sum(1)),
+        Metric.L2,
+    )
+    res = beam_search_scored(
+        sdef, sdata, jnp.asarray(adj), jnp.zeros((1,), jnp.int32),
+        jnp.asarray(queries),
+        l_search=l, beam_width=1, max_hops=4096,
+        history_capacity=16384,
+        accept_fn=accept_fn, accept_data=ls.bits,
+        filter_beta=0.5, filter_mode="inline",
+    )
+    for b in range(len(queries)):
+        want_m, want_nav, want_cmps = greedy_filter_search(
+            vectors, adj, [0], queries[b], l, lambda i: hot[i], beta=0.5
+        )
+        got_m = [int(i) for i in res.match_i[b] if i >= 0]
+        got_nav = [int(i) for i in res.ids[b] if i >= 0]
+        assert got_m == want_m, (b, got_m, want_m)
+        assert got_nav == want_nav, (b, got_nav, want_nav)
+        assert int(res.cmps[b]) == want_cmps, (b, int(res.cmps[b]), want_cmps)
+
+
 def test_adaptive_l_filtered_resume(rng):
     """The adaptive-L second pass RESUMES the pass-1 scratch (grown window +
     frontier re-seeded from the scored-id ring) instead of re-searching:
