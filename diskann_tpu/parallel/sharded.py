@@ -111,6 +111,69 @@ def _sharded_search(
     )(stacked, ext, ns, starts, queries)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "config", "k", "l_search", "accept_fn",
+                     "filter_beta"),
+)
+def _sharded_search_filtered(
+    mesh: Mesh,
+    stacked: GraphArrays,
+    bits,                     # [n_shards, cap, W] u32 label bitsets
+    ext,
+    ns,
+    starts,
+    queries,
+    *,
+    config: GraphConfig,
+    k: int,
+    l_search: int,
+    accept_fn,
+    filter_beta: float,
+):
+    """Per-shard inline beta-filter search; the MATCHED lists (true
+    distances, accepted nodes only) merge across the mesh with external-id
+    dedup — the filter layer composed over the sharded serving layout."""
+    from diskann_tpu.graph.scorers import full_precision_scorer
+    from diskann_tpu.graph.search import beam_search_scored
+
+    def local(st: GraphArrays, bits, ext, n, start, q):
+        st = jax.tree.map(lambda a: a[0], st)
+        bits, ext = bits[0], ext[0]
+        n, start = n[0], start[0]
+        sdef, sdata = full_precision_scorer(
+            st.vectors, st.sq_norms, config.metric
+        )
+        res = beam_search_scored(
+            sdef, sdata, st.adjacency, start, q,
+            l_search=l_search,
+            beam_width=config.beam_width,
+            max_hops=config.max_hops,
+            history_capacity=config.history_capacity(l_search),
+            accept_fn=accept_fn, accept_data=bits,
+            filter_beta=filter_beta, filter_mode="inline",
+        )
+        cap = st.capacity
+        safe = jnp.clip(res.match_i, 0, cap - 1)
+        ok = (res.match_i >= 0) & st.valid[safe]
+        eids = jnp.where(ok, ext[safe], -1)
+        dd = jnp.where(ok, res.match_d, jnp.inf)
+        all_d = jax.lax.all_gather(dd, "shard")
+        all_i = jax.lax.all_gather(eids, "shard")
+        md, mi = _merge_topk_dedup(all_d, all_i, k)
+        return md, mi, res.cmps
+
+    spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_state, P("shard"), P("shard"), P("shard"),
+                  P("shard"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(stacked, bits, ext, ns, starts, queries)
+
+
 @partial(jax.jit, static_argnames=("mesh", "config"))
 def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
                     row_ext, config):
@@ -473,6 +536,52 @@ class ShardedGraphIndex:
         )
 
     packed = None
+
+    # ---------------------------------------------------------------- labels
+    def attach_labels(self, labels_per_ext: list) -> None:
+        """Assign labels keyed by EXTERNAL id (labels_per_ext[e] = list of
+        label strings for external id e).  Each shard stores the bitset
+        rows for its local slots, so filtered search runs shard-local."""
+        from diskann_tpu.filters import LabelSet
+
+        ls = LabelSet.from_lists(
+            labels_per_ext, capacity=max(len(labels_per_ext), 1)
+        )
+        self.label_vocab = ls.vocab
+        ext = jnp.asarray(self.ext)                       # [S, cap]
+        safe = jnp.clip(ext, 0, ls.bits.shape[0] - 1)
+        bits = jnp.where(
+            (ext >= 0)[:, :, None], ls.bits[safe], 0
+        ).astype(ls.bits.dtype)                           # [S, cap, W]
+        self.label_bits = jax.device_put(bits, self._shard_sharding)
+
+    label_bits = None
+    label_vocab = None
+
+    def search_filtered(self, queries, predicate, k: int = 10, *,
+                        l_search: int | None = None,
+                        filter_beta: float | None = None):
+        """Label-filtered k-NN over every shard (inline beta filter,
+        matched lists merged with external-id dedup).  Returns
+        (true dists [B,k], EXTERNAL ids [B,k], cmps)."""
+        from diskann_tpu.filters import compile_accept, parse_predicate
+
+        if self.label_bits is None:
+            raise ValueError("attach_labels first")
+        if isinstance(predicate, str):
+            predicate = parse_predicate(predicate)
+        accept_fn = compile_accept(
+            predicate, self.label_vocab, self.cap_per_shard
+        )
+        queries = jnp.asarray(np.asarray(queries, np.float32))
+        l = l_search or max(k, self.config.l_build)
+        d, i, cmps = _sharded_search_filtered(
+            self.mesh, self.stacked, self.label_bits, self.ext, self.ns,
+            self.starts, queries,
+            config=self.config, k=k, l_search=l, accept_fn=accept_fn,
+            filter_beta=filter_beta if filter_beta is not None else 0.5,
+        )
+        return np.asarray(d), np.asarray(i), np.asarray(cmps)
 
     # ---------------------------------------------------------------- search
     def search(self, queries, k: int, *, l_search: int | None = None,

@@ -47,6 +47,48 @@ def test_sharded_graph_build_and_search(rng, mesh):
     assert r >= 0.9, r
 
 
+def test_sharded_filtered_search(rng, mesh):
+    """Label-filtered search over the sharded index: per-shard inline beta
+    filter, matched lists merged across the mesh with external-id dedup.
+    All returned ids honor the predicate; recall vs the filtered flat scan
+    holds; overlap-duplicated ids never repeat in a result row."""
+    n, d = 1600, 16
+    centers = rng.standard_normal((24, d)).astype(np.float32)
+    a = rng.integers(0, 24, size=n)
+    x = centers[a] + 0.1 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 24, size=32)] + 0.1 * rng.standard_normal(
+        (32, d)
+    ).astype(np.float32)
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=512)
+    # overlap-2 routing so some external ids live in two shards
+    assign = np.stack(
+        [np.arange(n) % idx.n_shards, (np.arange(n) + 1) % idx.n_shards],
+        axis=1,
+    )
+    idx.insert(x, assign)
+    red = rng.random(n) < 0.35
+    idx.attach_labels([["red"] if r else ["blue"] for r in red])
+
+    fd, fi, cmps = idx.search_filtered(q, "red", k=10, l_search=48)
+    found = fi[fi >= 0]
+    assert found.size > 0 and red[found].all()
+    for b in range(len(q)):
+        live = fi[b][fi[b] >= 0]
+        assert len(live) == len(set(live.tolist())), live  # dedup held
+    # recall vs exact filtered scan
+    gt_d = ((q[:, None, :] - x[None, red, :]) ** 2).sum(-1)
+    red_ids = np.nonzero(red)[0]
+    gt = red_ids[np.argsort(gt_d, axis=1)[:, :10]]
+    r = knn_recall(fi, gt, 10)
+    assert r >= 0.85, r
+    # negated predicate routes to the complement
+    _, bi, _ = idx.search_filtered(q, "!red", k=5, l_search=48)
+    bl = bi[bi >= 0]
+    assert bl.size > 0 and (~red[bl]).all()
+
+
 def test_kmeans_partition_overlap(rng, mesh):
     from diskann_tpu.parallel.partition import (
         estimate_build_ram_bytes, kmeans_partition, shard_lists,
