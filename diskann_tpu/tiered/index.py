@@ -173,6 +173,64 @@ class TieredIndex:
         )
         return np.asarray(d), np.asarray(i), res
 
+    def search_filtered(
+        self,
+        queries,
+        predicate,
+        k: int = 10,
+        *,
+        l_search: int | None = None,
+        beam_width: int = 4,
+        filter_beta: float | None = None,
+        method: str = "inline",
+    ):
+        """Label-filtered tiered search: packed int8 traversal with the
+        inline beta filter (matched-only list collected at quantized
+        distances), then the matched rows stage from host RAM for an EXACT
+        rerank — the disk provider's RerankAndFilter flow
+        (`disk_provider.rs:292`) on the HBM/host tiers.  Requires labels
+        attached on the underlying graph."""
+        from diskann_tpu.filters import compile_accept, parse_predicate
+        from diskann_tpu.graph.scorers import packed_scorer
+        from diskann_tpu.graph.search import beam_search_scored
+
+        g = self.graph
+        if getattr(g, "labels", None) is None:
+            raise ValueError("attach labels on the graph first")
+        if isinstance(predicate, str):
+            predicate = parse_predicate(predicate)
+        accept_fn = compile_accept(
+            predicate, g.labels.vocab, g.state.capacity
+        )
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        l = l_search or max(k, g.config.l_build)
+        sdef, sdata = packed_scorer(g.packed, g.config.metric)
+        res = beam_search_scored(
+            sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
+            l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
+            history_capacity=g.config.history_capacity(l),
+            dedup="list", expand_r=g.packed.r_pack,
+            accept_fn=accept_fn, accept_data=g.labels.bits,
+            filter_beta=filter_beta if filter_beta is not None else 0.5,
+            filter_mode=method,
+        )
+        ids = np.asarray(res.match_i)        # accepted, quantized order
+        budget = min(self.io_limit or l, l)
+        stage_ids = ids[:, :budget]
+        t0 = time.time()
+        rows = self.store.fetch(
+            np.maximum(stage_ids, 0).reshape(-1)
+        ).reshape(ids.shape[0], budget, -1)
+        self.io_stats["rows_staged"] += int(stage_ids.size)
+        self.io_stats["stage_s"] += time.time() - t0
+        d, i = _tiered_rerank(
+            jnp.asarray(queries), jnp.asarray(rows), jnp.asarray(stage_ids),
+            g.state.valid, g.config.metric, k,
+        )
+        return np.asarray(d), np.asarray(i), res
+
     def search_batched(
         self,
         queries,

@@ -43,6 +43,46 @@ def test_tiered_io_limit(rng):
     assert (ids[:, 0] >= 0).all()
 
 
+def test_tiered_filtered_search(rng):
+    """RerankAndFilter over the tiers (`disk_provider.rs:292`): packed
+    traversal collects accepted matches at quantized distances, host rows
+    stage for an exact rerank; results honor the predicate and beat the
+    quantized ordering."""
+    from diskann_tpu import GraphConfig
+    from diskann_tpu.tiered import TieredIndex
+
+    n, d = 2000, 24
+    centers = rng.standard_normal((16, d)).astype(np.float32)
+    a = rng.integers(0, 16, size=n)
+    x = centers[a] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    t = TieredIndex.build_from_host(
+        x, GraphConfig(max_degree=16, l_build=32), dp=16,
+        insert_batch_size=512,
+    )
+    hot = rng.random(n) < 0.3
+    t.graph.attach_labels([["hot"] if h else ["cold"] for h in hot])
+    q = centers[rng.integers(0, 16, size=16)] + 0.15 * rng.standard_normal(
+        (16, d)
+    ).astype(np.float32)
+    fd, fi, res = t.search_filtered(q, "hot", k=10, l_search=48)
+    got = fi[fi >= 0]
+    assert got.size > 0 and hot[got].all()
+    # recall vs exact filtered scan
+    hot_ids = np.nonzero(hot)[0]
+    gt_d = ((q[:, None, :] - x[None, hot, :]) ** 2).sum(-1)
+    gt = hot_ids[np.argsort(gt_d, axis=1)[:, :10]]
+    from diskann_tpu.bench.recall import knn_recall
+
+    r = knn_recall(fi, gt, 10)
+    assert r >= 0.8, r
+    # reranked distances are exact (match the raw vectors)
+    for b in range(4):
+        for j in range(3):
+            if fi[b, j] >= 0:
+                true = ((q[b] - x[fi[b, j]]) ** 2).sum()
+                np.testing.assert_allclose(fd[b, j], true, rtol=1e-4)
+
+
 def test_host_store_fbin(tmp_path, rng):
     from diskann_tpu.io_.fbin import write_fbin
 
