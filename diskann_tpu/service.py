@@ -45,6 +45,7 @@ class VectorSet:
         self.id_to_name[int(iid)] = name
         if attribute is not None:
             self.attributes[name] = attribute
+        self._labels_dirty = True
         if self.quant_mode is not None:
             self._encode_rows(np.asarray([iid]))
         return True
@@ -63,6 +64,7 @@ class VectorSet:
             self.id_to_name[int(ids[j])] = name
             if attributes is not None and attributes[i] is not None:
                 self.attributes[name] = attributes[i]
+        self._labels_dirty = True
         if self.quant_mode is not None:
             self._encode_rows(np.asarray(ids))
         return len(fresh)
@@ -75,6 +77,7 @@ class VectorSet:
         self.id_to_name.pop(iid, None)
         self.attributes.pop(name, None)
         self.index.delete([iid])
+        self._labels_dirty = True
         return True
 
     # ------------------------------------------------------- dynamic quant
@@ -155,6 +158,44 @@ class VectorSet:
             if int(i) in self.id_to_name
         ]
 
+    # VSIM ... FILTER (reference `filtered_search_vector`, lib.rs:623-667:
+    # inline filtered search with AdaptiveL capped by max_filtering_effort)
+    def search_vector_filtered(self, vector, predicate, k: int = 10, *,
+                               l_search: int | None = None,
+                               max_filtering_effort: int = 8):
+        """Filtered VSIM: elements whose ATTRIBUTE is a label string (or a
+        list of label strings) are matched against `predicate`
+        ("a & !b" syntax); unlabeled elements never match.
+        max_filtering_effort caps the AdaptiveL re-search scale."""
+        if self._labels_dirty:
+            self.index.attach_labels(self._label_lists())
+            self._labels_dirty = False
+        d, ids, _ = self.index.search_filtered(
+            np.asarray(vector, np.float32)[None], predicate, k=k,
+            l_search=l_search, max_l_scale=max_filtering_effort,
+        )
+        return [
+            (self.id_to_name[int(i)], float(dd))
+            for i, dd in zip(ids[0], d[0])
+            if int(i) in self.id_to_name
+        ]
+
+    _labels_dirty = True
+
+    def _label_lists(self) -> list:
+        """Per-slot label lists derived from string(-list) attributes."""
+        cap = self.index.state.capacity
+        lists: list[list[str]] = [[] for _ in range(cap)]
+        for name, iid in self.name_to_id.items():
+            a = self.attributes.get(name)
+            if isinstance(a, str):
+                lists[iid] = [a]
+            elif isinstance(a, (list, tuple)) and a and all(
+                isinstance(s, str) for s in a
+            ):
+                lists[iid] = list(a)
+        return lists
+
     # VSIM with an element name
     def search_element(self, name: str, k: int = 10, **kw):
         iid = self.name_to_id[name]
@@ -200,6 +241,7 @@ class VectorSet:
         if name not in self.name_to_id:
             return False
         self.attributes[name] = attribute
+        self._labels_dirty = True
         return True
 
     def get_attribute(self, name: str) -> Any:

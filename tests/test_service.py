@@ -90,3 +90,30 @@ def test_service_minmax_streaming(rng):
     vs.add("fresh", vecs[0] * 0.5 + 0.1)
     got = vs.search_vector(vecs[0] * 0.5 + 0.1, k=1, l_search=20)
     assert got[0][0] == "fresh"
+
+
+def test_service_filtered_vsim(rng):
+    """VSIM ... FILTER analogue (`filtered_search_vector`, lib.rs:623):
+    string(-list) attributes act as labels; predicates filter results;
+    attribute updates and removals invalidate the label cache."""
+    svc = VectorService()
+    vs = svc.create_index("f", 12, max_degree=8, l_build=16,
+                          insert_batch_size=64)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    attrs = [["red"] if i % 3 == 0 else ["blue", "big"] for i in range(120)]
+    vs.add_batch([f"e{i}" for i in range(120)], vecs, attrs)
+    q = vecs[9] + 0.001  # e9 is red
+    got = vs.search_vector_filtered(q, "red", k=5, l_search=24)
+    assert got and got[0][0] == "e9"
+    assert all(int(n[1:]) % 3 == 0 for n, _ in got)
+    got_b = vs.search_vector_filtered(q, "blue & big", k=5, l_search=24)
+    assert got_b and all(int(n[1:]) % 3 != 0 for n, _ in got_b)
+    # attribute update moves an element across the predicate boundary
+    vs.set_attribute("e9", ["blue", "big"])
+    got2 = vs.search_vector_filtered(q, "red", k=5, l_search=24)
+    assert all(n != "e9" for n, _ in got2)
+    # removal invalidates too
+    vs.remove("e0")
+    got3 = vs.search_vector_filtered(vecs[0] + 0.001, "red", k=5,
+                                     l_search=24)
+    assert all(n != "e0" for n, _ in got3)
