@@ -44,8 +44,16 @@ def range_search(
     l = l_init or max(32, index.config.l_build)
     done = np.zeros(b, bool)
     results: list[np.ndarray] = [np.empty(0, np.int64)] * b
+    # tiered/sharded indexes have no `mode` kwarg (their tier IS the mode)
+    import inspect
+
+    kw = (
+        {"mode": mode}
+        if "mode" in inspect.signature(index.search).parameters
+        else {}
+    )
     while True:
-        d, ids, _ = index.search(queries, k=l, l_search=l, mode=mode)
+        d, ids, _ = index.search(queries, k=l, l_search=l, **kw)
         for i in range(b):
             if done[i]:
                 continue

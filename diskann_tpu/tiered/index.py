@@ -104,6 +104,20 @@ class TieredIndex:
         self.io_limit = io_limit
         self.io_stats = {"rows_staged": 0, "stage_s": 0.0}
 
+    @property
+    def config(self):
+        return self.graph.config
+
+    def search_range(self, queries, radius: float, *,
+                     l_init: int | None = None, l_max: int = 1024):
+        """All ids within `radius` (reference `Range::search` two-round
+        doubling over the disk tier): each round's candidates rerank
+        exactly from host rows, so radius membership is exact."""
+        from diskann_tpu.graph.modes import range_search
+
+        return range_search(self, queries, radius, l_init=l_init,
+                            l_max=l_max)
+
     @classmethod
     def build_from_host(
         cls,

@@ -257,3 +257,27 @@ def test_plan_shards_budget():
     many = plan_shards(1 << 20, 128, 83, dp=64, overlap=2,
                        hbm_budget_bytes=200 * (1 << 20))
     assert many >= 8
+
+
+def test_tiered_range_search(rng):
+    """Range search over the tiers: two-round L doubling with exact
+    reranked distances, so radius membership matches the flat scan."""
+    from diskann_tpu import GraphConfig
+    from diskann_tpu.tiered import TieredIndex
+
+    n, d = 1500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    t = TieredIndex.build_from_host(
+        x, GraphConfig(max_degree=16, l_build=32), dp=16,
+        insert_batch_size=512,
+    )
+    q = x[rng.choice(n, size=6, replace=False)] + 0.01
+    dall = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    radius = float(np.quantile(dall, 0.005))
+    got = t.search_range(q, radius, l_init=32)
+    for b in range(len(q)):
+        want = set(np.nonzero(dall[b] <= radius)[0].tolist())
+        have = set(int(i) for i in got[b])
+        # graph recall within the radius; no false positives ever
+        assert have <= want, have - want
+        assert len(have) >= 0.85 * len(want), (len(have), len(want))
