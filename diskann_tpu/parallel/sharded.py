@@ -605,6 +605,15 @@ class ShardedGraphIndex:
             )
         return np.asarray(d), np.asarray(i), np.asarray(cmps)
 
+    def search_range(self, queries, radius: float, *,
+                     l_init: int | None = None, l_max: int = 1024):
+        """All EXTERNAL ids within `radius` of each query (two-round L
+        doubling over every shard, overlap duplicates deduped at merge)."""
+        from diskann_tpu.graph.modes import range_search
+
+        return range_search(self, queries, radius, l_init=l_init,
+                            l_max=l_max)
+
     # -------------------------------------------------------------- save/load
     def save(self, path: str) -> None:
         """Persist all shards + the external-id map (merged-index analogue of

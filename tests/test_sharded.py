@@ -242,3 +242,27 @@ def test_sharded_save_load(tmp_path, rng, mesh):
     more = rng.standard_normal((32, d)).astype(np.float32)
     ext = re.insert(more)
     assert ext[0] == n
+
+
+def test_sharded_range_search(rng, mesh):
+    """Radius search over the mesh: union of shard-local results, overlap
+    duplicates removed, no false positives vs the exact scan."""
+    n, d = 1200, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=512)
+    assign = np.stack(
+        [np.arange(n) % idx.n_shards, (np.arange(n) + 3) % idx.n_shards],
+        axis=1,
+    )
+    idx.insert(x, assign)
+    q = x[rng.choice(n, size=5, replace=False)] + 0.01
+    dall = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    radius = float(np.quantile(dall, 0.008))
+    got = idx.search_range(q, radius, l_init=32)
+    for b in range(len(q)):
+        want = set(np.nonzero(dall[b] <= radius)[0].tolist())
+        have = list(int(i) for i in got[b])
+        assert len(have) == len(set(have))  # dedup across overlap copies
+        assert set(have) <= want, set(have) - want
+        assert len(have) >= 0.85 * len(want), (len(have), len(want))
