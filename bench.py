@@ -24,23 +24,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 LOG = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 
+# best successful sweep point so far, for the watchdog's last-resort report
+_LAST_GOOD: dict = {}
+
+
+def _emit_last_resort(what: str):
+    if _LAST_GOOD:
+        print(json.dumps(_LAST_GOOD), flush=True)
+    else:
+        print(json.dumps({
+            "metric": "qps_at_recall0.95_1M_128d_packed",
+            "value": 0, "unit": "qps", "vs_baseline": 0,
+            "extra": {"error": f"watchdog: {what}"},
+        }), flush=True)
+
+
 class _Watchdog:
-    """SIGALRM guard around relay-bound steps: the shared-TPU relay has been
-    observed to wedge indefinitely (a blocked RPC never returns), which
-    would otherwise hang the whole bench without emitting its JSON line."""
+    """Timeout guard around relay-bound steps: the shared-TPU relay has
+    been observed to wedge indefinitely (a blocked RPC never returns).
+
+    Two layers, because a Python SIGALRM handler only runs when the main
+    thread executes bytecode — a wedge INSIDE the C++ relay client never
+    lets it fire:
+    - SIGALRM raises TimeoutError when the main thread is interruptible
+      (lets the caller degrade gracefully, e.g. report a partial sweep);
+    - a daemon Timer thread at 1.5x the budget prints the best JSON line
+      seen so far (or an error line) and hard-exits — the guarantee that
+      the driver always records SOMETHING."""
 
     def __init__(self, seconds, what):
         self.seconds, self.what = seconds, what
 
     def __enter__(self):
+        import threading
+
         def _raise(*_):
             raise TimeoutError(f"{self.what} exceeded {self.seconds}s")
 
         signal.signal(signal.SIGALRM, _raise)
         signal.alarm(self.seconds)
 
+        def _hard_exit():
+            LOG(f"[bench] HARD watchdog: {self.what} wedged; emitting "
+                "last-resort JSON and exiting")
+            _emit_last_resort(f"{self.what} wedged (relay blocked in C)")
+            os._exit(3)
+
+        self._timer = threading.Timer(self.seconds * 1.5, _hard_exit)
+        self._timer.daemon = True
+        self._timer.start()
+
     def __exit__(self, *exc):
         signal.alarm(0)
+        self._timer.cancel()
         return False
 
 
@@ -207,6 +243,15 @@ def main():
             f"hops={stats.hops.mean():.0f}")
         if r >= target_recall and (best is None or qps > best[1]):
             best = (l, qps, r)
+            _LAST_GOOD.clear()
+            _LAST_GOOD.update({
+                "metric": f"qps_at_recall{target_recall}_1M_128d_{mode}",
+                "value": round(float(qps), 1),
+                "unit": "qps",
+                "vs_baseline": round(float(qps) / 100_000.0, 4),
+                "extra": {"recall": r, "config": f"L={l}",
+                          "partial": "watchdog_last_good", "n": n},
+            })
         if r >= 0.999:
             break
 

@@ -986,8 +986,10 @@ class GraphIndex:
                 scale = 2
             else:
                 scale = min(int(2 ** int(np.ceil(-np.log10(spec)))), max_l_scale)
-            if scale > 1:
-                l1 = min(l0 * scale, 1024)
+            # never shrink below l0: at l0 > 1024 the cap would otherwise
+            # hand grow_resume_state a smaller window (hard assert)
+            l1 = max(min(l0 * scale, 1024), l0)
+            if scale > 1 and l1 > l0:
                 l_tot, _, h_new = search_geometry(
                     l_search=l1, reserve=0, beam_width=w,
                     r=self.state.adjacency.shape[1], s=start.shape[-1],

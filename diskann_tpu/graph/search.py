@@ -105,6 +105,23 @@ class ResumeState(NamedTuple):
     match_i: jax.Array     # [B, Lm]
 
 
+def _match_merge(md, mi, lm):
+    """Merge candidate (d, id) columns into the matched-only list with ID
+    DEDUP: the same id always carries a bitwise-identical true distance
+    (same scorer, same inputs), so sorting by (d, id) lands duplicates
+    adjacent where one shifted compare drops them.  Without this, an
+    accepted node that fell off the nav list (dedup='list' re-scoring, or
+    a ring reseed) would re-enter the match list as a duplicate result."""
+    b = md.shape[0]
+    md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=2)
+    prev = jnp.concatenate([jnp.full((b, 1), -2, jnp.int32), mi[:, :-1]], axis=1)
+    dup = (mi == prev) & (mi >= 0)
+    md = jnp.where(dup, jnp.inf, md)
+    mi = jnp.where(dup, -1, mi)
+    md, mi = jax.lax.sort((md, mi), dimension=-1, num_keys=1)
+    return md[:, :lm], mi[:, :lm]
+
+
 def search_geometry(*, l_search: int, reserve: int, beam_width: int, r: int,
                     s: int, expand_r: int | None = None,
                     history_capacity: int = 0, dedup: str = "ring"):
@@ -261,8 +278,8 @@ def beam_search_scored(
         match_i = jnp.pad(
             jnp.where(sacc, sid, -1), ((0, 0), (0, mpad)), constant_values=-1
         )
-        match_d, match_i = jax.lax.sort((match_d, match_i), dimension=-1, num_keys=1)
-        match_d, match_i = match_d[:, :lm], match_i[:, :lm]
+        # start ids may repeat (router starts can hit the global start)
+        match_d, match_i = _match_merge(match_d, match_i, lm)
         sd = _beta_bias(sd, sacc, filter_beta)
     else:
         match_d = jnp.full((b, lm), jnp.inf, jnp.float32)
@@ -338,16 +355,15 @@ def beam_search_scored(
             reseed_cmps = rfresh.astype(jnp.int32).sum(axis=1)
             if accept_fn is not None:
                 racc = accept_fn(accept_data, rid, rfresh) & rfresh
-                mmd = jnp.concatenate(
-                    [match_d, jnp.where(racc, rd, jnp.inf)], axis=1
+                match_d, match_i = _match_merge(
+                    jnp.concatenate(
+                        [match_d, jnp.where(racc, rd, jnp.inf)], axis=1
+                    ),
+                    jnp.concatenate(
+                        [match_i, jnp.where(racc, rids, -1)], axis=1
+                    ),
+                    lm,
                 )
-                mmi = jnp.concatenate(
-                    [match_i, jnp.where(racc, rids, -1)], axis=1
-                )
-                mmd, mmi = jax.lax.sort(
-                    (mmd, mmi), dimension=-1, num_keys=1
-                )
-                match_d, match_i = mmd[:, :lm], mmi[:, :lm]
                 if filter_mode == "multihop":
                     # multihop navigation admits accepted nodes only
                     rd = jnp.where(racc, rd, jnp.inf)
@@ -513,14 +529,15 @@ def beam_search_scored(
         extra = ()
         if accept_fn is not None:
             acc = accept_fn(accept_data, cand, fresh) & fresh
-            mmd = jnp.concatenate(
-                [st.match_d, jnp.where(acc, cd, jnp.inf)], axis=1
+            match_d, match_i = _match_merge(
+                jnp.concatenate(
+                    [st.match_d, jnp.where(acc, cd, jnp.inf)], axis=1
+                ),
+                jnp.concatenate(
+                    [st.match_i, jnp.where(acc, cand_ids, -1)], axis=1
+                ),
+                lm,
             )
-            mmi = jnp.concatenate(
-                [st.match_i, jnp.where(acc, cand_ids, -1)], axis=1
-            )
-            mmd, mmi = jax.lax.sort((mmd, mmi), dimension=-1, num_keys=1)
-            match_d, match_i = mmd[:, :lm], mmi[:, :lm]
             if filter_mode == "multihop":
                 # MultihopFilterSearch (`multihop_filter_search.rs:180-237`):
                 # only ACCEPTED nodes enter the navigation list; the closest
@@ -548,10 +565,11 @@ def beam_search_scored(
                 cd2m = jnp.where(acc2, cd2, jnp.inf)
                 extra = (cd2m, ci2)
                 # matched list gets the two-hop accepts too
-                mmd = jnp.concatenate([match_d, cd2m], axis=1)
-                mmi = jnp.concatenate([match_i, ci2], axis=1)
-                mmd, mmi = jax.lax.sort((mmd, mmi), dimension=-1, num_keys=1)
-                match_d, match_i = mmd[:, :lm], mmi[:, :lm]
+                match_d, match_i = _match_merge(
+                    jnp.concatenate([match_d, cd2m], axis=1),
+                    jnp.concatenate([match_i, ci2], axis=1),
+                    lm,
+                )
                 # navigation list only takes accepted one-hop candidates
                 cd = jnp.where(acc, cd, jnp.inf)
                 cand_ids = jnp.where(acc, cand_ids, -1)

@@ -154,7 +154,11 @@ class NativeVectorFile:
                 self._uring, self._h, ids.ctypes.data_as(ctypes.c_void_p),
                 ids.size, out.ctypes.data_as(ctypes.c_void_p),
             )
-            if rc != 0:  # ring failure mid-flight: mmap path still works
+            if rc != 0:
+                # ring failure mid-flight: the ring is poisoned (stale
+                # completions) — drop it and use the mmap path from now on
+                self._lib.hio_uring_destroy(self._uring)
+                self._uring = None
                 self._lib.hio_gather(
                     self._h, ids.ctypes.data_as(ctypes.c_void_p), ids.size,
                     out.ctypes.data_as(ctypes.c_void_p), self.threads,

@@ -11,6 +11,7 @@
 // Exposed as a plain C ABI consumed from Python via ctypes (no pybind11).
 
 #include <atomic>
+#include <cerrno>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -223,6 +224,9 @@ namespace {
 struct Uring {
     int ring_fd = -1;
     unsigned depth = 0;
+    unsigned cq_entries = 0;
+    bool poisoned = false;   // enter failed with reads in flight: stale
+                             // CQEs / late writes make the ring unusable
     void* sq_mm = nullptr;
     size_t sq_len = 0;
     void* cq_mm = nullptr;      // == sq_mm under IORING_FEAT_SINGLE_MMAP
@@ -255,6 +259,7 @@ Uring* uring_create(unsigned depth) {
     auto* u = new Uring();
     u->ring_fd = fd;
     u->depth = p.sq_entries;
+    u->cq_entries = p.cq_entries;
     u->sq_len = p.sq_off.array + p.sq_entries * sizeof(unsigned);
     u->cq_len = p.cq_off.cqes + p.cq_entries * sizeof(io_uring_cqe);
     if (p.features & IORING_FEAT_SINGLE_MMAP) {
@@ -295,16 +300,22 @@ Uring* uring_create(unsigned depth) {
 int uring_gather(Uring* u, const File* f, const int64_t* ids, int64_t count,
                  uint8_t* out) {
     std::lock_guard<std::mutex> lock(u->mu);
+    if (u->poisoned) return -1;
     const int64_t rb = f->row_bytes;
     const unsigned mask = *u->sq_mask;
     int64_t next = 0;       // next row to submit
     int64_t done = 0;       // completions drained
     while (done < count) {
-        // fill the ring
+        // fill the ring — bounded by CQ capacity too: SQ slots free at
+        // submit time, so an unpaced loop could overflow the CQ (EBUSY /
+        // dropped completions)
         unsigned head =
             __atomic_load_n(u->sq_head, __ATOMIC_ACQUIRE);
         unsigned tail = *u->sq_tail;
         unsigned space = u->depth - (tail - head);
+        unsigned in_flight = (unsigned)(next - done);
+        if (space > u->cq_entries - in_flight)
+            space = u->cq_entries - in_flight;
         unsigned batch = 0;
         while (batch < space && next < count) {
             int64_t id = ids[next];
@@ -325,9 +336,19 @@ int uring_gather(Uring* u, const File* f, const int64_t* ids, int64_t count,
         }
         __atomic_store_n(u->sq_tail, tail + batch, __ATOMIC_RELEASE);
         unsigned want = (unsigned)std::min<int64_t>(next - done, 1);
-        int r = sys_io_uring_enter(u->ring_fd, batch, want,
+        int r;
+        do {
+            r = sys_io_uring_enter(u->ring_fd, batch, want,
                                    IORING_ENTER_GETEVENTS);
-        if (r < 0) return -1;
+            batch = 0;  // sqes are consumed even when the wait is EINTR'd
+        } while (r < 0 && errno == EINTR);
+        if (r < 0) {
+            // reads may still be in flight: stale CQEs would corrupt the
+            // next gather and late kernel writes its output buffer —
+            // poison the ring so the caller falls back permanently
+            u->poisoned = true;
+            return -1;
+        }
         // drain completions
         unsigned chead = *u->cq_head;
         unsigned ctail = __atomic_load_n(u->cq_tail, __ATOMIC_ACQUIRE);

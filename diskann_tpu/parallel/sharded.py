@@ -417,6 +417,7 @@ class ShardedGraphIndex:
             self._shard_sharding,
         )
         self.cap_per_shard = new_cap_per_shard
+        self._labels_stale = True
         if self.packed is not None:
             self.attach_packed(dp=int(self.packed.dp))
 
@@ -482,6 +483,7 @@ class ShardedGraphIndex:
             self.config,
         )
         self.next_ext += m
+        self._labels_stale = True
         return ext_ids
 
     # ---------------------------------------------------------------- delete
@@ -541,12 +543,26 @@ class ShardedGraphIndex:
     def attach_labels(self, labels_per_ext: list) -> None:
         """Assign labels keyed by EXTERNAL id (labels_per_ext[e] = list of
         label strings for external id e).  Each shard stores the bitset
-        rows for its local slots, so filtered search runs shard-local."""
+        rows for its local slots, so filtered search runs shard-local.
+        External ids beyond the list (or added later) carry no labels and
+        never match a predicate."""
+        self._labels_per_ext = list(labels_per_ext)
+        self._labels_stale = True
+        self._rebuild_label_bits()
+
+    def _rebuild_label_bits(self) -> None:
+        """(Re)scatter label bitset rows to each shard's CURRENT slots —
+        insert/grow move/extend slots, so a stale snapshot would clamp
+        out-of-range gathers onto arbitrary rows (silent predicate
+        violations)."""
         from diskann_tpu.filters import LabelSet
 
-        ls = LabelSet.from_lists(
-            labels_per_ext, capacity=max(len(labels_per_ext), 1)
-        )
+        lists = self._labels_per_ext
+        # cover every assigned external id; later ones are unlabeled
+        n_ext = max(len(lists), self.next_ext, 1)
+        if len(lists) < n_ext:
+            lists = lists + [[] for _ in range(n_ext - len(lists))]
+        ls = LabelSet.from_lists(lists, capacity=n_ext)
         self.label_vocab = ls.vocab
         ext = jnp.asarray(self.ext)                       # [S, cap]
         safe = jnp.clip(ext, 0, ls.bits.shape[0] - 1)
@@ -554,9 +570,12 @@ class ShardedGraphIndex:
             (ext >= 0)[:, :, None], ls.bits[safe], 0
         ).astype(ls.bits.dtype)                           # [S, cap, W]
         self.label_bits = jax.device_put(bits, self._shard_sharding)
+        self._labels_stale = False
 
     label_bits = None
     label_vocab = None
+    _labels_per_ext = None
+    _labels_stale = False
 
     def search_filtered(self, queries, predicate, k: int = 10, *,
                         l_search: int | None = None,
@@ -568,6 +587,8 @@ class ShardedGraphIndex:
 
         if self.label_bits is None:
             raise ValueError("attach_labels first")
+        if self._labels_stale:
+            self._rebuild_label_bits()
         if isinstance(predicate, str):
             predicate = parse_predicate(predicate)
         accept_fn = compile_accept(

@@ -225,7 +225,7 @@ class TieredIndex:
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
             l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
             history_capacity=g.config.history_capacity(l),
-            dedup="list", expand_r=g.packed.r_pack,
+            dedup="ring", expand_r=g.packed.r_pack,
             accept_fn=accept_fn, accept_data=g.labels.bits,
             filter_beta=filter_beta if filter_beta is not None else 0.5,
             filter_mode=method,

@@ -227,6 +227,10 @@ def test_adaptive_l_filtered_resume(rng):
     assert f1.sum() > f0.sum() + len(q), (f1, f0)  # real recovery, not noise
     ret = fi1[fi1 >= 0]
     assert hot[ret].all()
+    # regression: ring reseed must not re-append matched ids (dup results)
+    for b in range(len(q)):
+        live = fi1[b][fi1[b] >= 0]
+        assert len(live) == len(set(live.tolist())), (b, live)
     # cmps/hops accumulate across the resume: strictly more work than pass 1
     # alone, far less than pass1 + an equivalent from-scratch re-search
     assert np.asarray(s1.cmps).sum() > np.asarray(s0.cmps).sum()

@@ -87,6 +87,17 @@ def test_sharded_filtered_search(rng, mesh):
     _, bi, _ = idx.search_filtered(q, "!red", k=5, l_search=48)
     bl = bi[bi >= 0]
     assert bl.size > 0 and (~red[bl]).all()
+    # regression: inserts after attach_labels (incl. capacity growth) must
+    # not surface unlabeled points as matches (stale bits once clamped
+    # out-of-range gathers onto arbitrary rows)
+    extra = centers[rng.integers(0, 24, size=600)] + 0.1 * (
+        rng.standard_normal((600, d)).astype(np.float32)
+    )
+    idx.insert(extra)  # forces grow past cap_per_shard=512
+    _, fi2, _ = idx.search_filtered(q, "red", k=10, l_search=48)
+    got2 = fi2[fi2 >= 0]
+    assert got2.size > 0 and (got2 < n).all(), got2[got2 >= n]
+    assert red[got2].all()
 
 
 def test_kmeans_partition_overlap(rng, mesh):

@@ -67,6 +67,11 @@ def test_tiered_filtered_search(rng):
     fd, fi, res = t.search_filtered(q, "hot", k=10, l_search=48)
     got = fi[fi >= 0]
     assert got.size > 0 and hot[got].all()
+    # regression: accepted nodes re-scored after falling off the nav list
+    # must not duplicate in the match list / reranked results
+    for b in range(len(q)):
+        live = fi[b][fi[b] >= 0]
+        assert len(live) == len(set(live.tolist())), (b, live)
     # recall vs exact filtered scan
     hot_ids = np.nonzero(hot)[0]
     gt_d = ((q[:, None, :] - x[None, hot, :]) ** 2).sum(-1)
