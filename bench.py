@@ -210,6 +210,9 @@ def main():
     # floor.  BENCH_MAXHOPS=-1 disables.
     max_hops = int(os.environ.get("BENCH_MAXHOPS", 9))
     max_hops = None if max_hops <= 0 else max_hops
+    # BENCH_RS: per-query router entry points (0 = config default 4).  More
+    # starts seed a better initial list so the walk needs fewer hops.
+    rstarts = int(os.environ.get("BENCH_RS", 0)) or None
     fused = os.environ.get("BENCH_FUSED", "0") == "1"
     l_sweep = tuple(
         int(v) for v in os.environ.get(
@@ -223,13 +226,14 @@ def main():
             with _Watchdog(1500, f"search sweep point L={l}"):
                 idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
                            rerank_l=rerank_l, fused=fused,
-                           query_dtype=query_dtype,
+                           query_dtype=query_dtype, router_starts=rstarts,
                            max_hops=max_hops)  # compile at full batch shape
                 t0 = time.time()
                 _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
                                            beam_width=sw, rerank_l=rerank_l,
                                            max_hops=max_hops, fused=fused,
-                                           query_dtype=query_dtype)
+                                           query_dtype=query_dtype,
+                                           router_starts=rstarts)
                 dt = time.time() - t0
         except TimeoutError as te:
             # wedged relay: report what the sweep has so far rather than

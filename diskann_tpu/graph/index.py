@@ -307,7 +307,8 @@ class GraphIndex:
         self._auto_start = None
         self._router_ids = None
 
-    def _router_starts(self, q_dev, mode: str) -> jax.Array | None:
+    def _router_starts(self, q_dev, mode: str,
+                       n_start: int | None = None) -> jax.Array | None:
         """Per-query entry points: ONE matmul of the query batch against a
         sampled router set, take the `router_starts` nearest (replaces the
         medoid descent; reference start-point strategies live in
@@ -326,16 +327,16 @@ class GraphIndex:
             rng = np.random.default_rng(0xD15C)
             sel = rng.choice(live, size=min(size, len(live)), replace=False)
             self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
+        ns = n_start if n_start else cfg.router_starts
         if mode == "packed" or getattr(self, "_hbm_vectors_dropped", False):
             return _router_topk_packed(
                 self.packed.self_codes, self.packed.self_aux,
                 self.packed.proj, self.packed.pscale, self.packed.pbias2,
-                self._router_ids, q_dev, self.config.metric,
-                cfg.router_starts,
+                self._router_ids, q_dev, self.config.metric, ns,
             )
         return _router_topk_full(
             self.state.vectors, self.state.sq_norms, self._router_ids,
-            q_dev, self.config.metric, cfg.router_starts,
+            q_dev, self.config.metric, ns,
         )
 
     # ----------------------------------------------------------------- insert
@@ -459,8 +460,14 @@ class GraphIndex:
         max_hops: int | None = None,
         fused: bool = False,
         query_dtype=None,
+        router_starts: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
         """k-NN search. Returns (dists [B,k], ids [B,k], stats).
+
+        router_starts: override `config.router_starts` for this call — more
+        per-query entry points make the initial list better (the router
+        matmul is nearly free on the MXU) so the walk converges in fewer
+        hops; pairs with a lower `max_hops`.
 
         mode="full": full-precision traversal (in-memory provider).
         mode="pq":   PQ-code traversal + full-precision rerank (the SSD-tier
@@ -506,7 +513,7 @@ class GraphIndex:
             fn = self._composed_quant_fn(
                 mode, k, l, w, rerank_l, max_hops, fused,
                 np.dtype(query_dtype).name if query_dtype else None,
-                use_router,
+                use_router, router_starts,
             )
             _, sdata, _ = self._scorer_for_mode(mode)
             if use_router and (mode == "packed" or getattr(
@@ -548,7 +555,7 @@ class GraphIndex:
                 q_dev = _cast_f32(jnp.asarray(q.astype(query_dtype)))
             else:
                 q_dev = jnp.asarray(q)
-            rstart = self._router_starts(q_dev, mode)
+            rstart = self._router_starts(q_dev, mode, router_starts)
             if mode == "full":
                 res = beam_search(
                     self.state.vectors,
@@ -764,7 +771,7 @@ class GraphIndex:
         return self._router_ids
 
     def _composed_quant_fn(self, mode, k, l, w, rl, mh, fused, wire,
-                           use_router):
+                           use_router, router_starts=None):
         """ONE jitted program per search config: device upcast + router
         top-k + quantized traversal + full-precision rerank + output
         packing.  The relay link charges per dispatch (HTTP round trips on
@@ -773,7 +780,7 @@ class GraphIndex:
         Cached per config (the bench L-sweep hits several)."""
         expand_r = self.packed.r_pack if mode == "packed" else None
         key = (mode, k, l, w, rl, mh, fused, wire, use_router,
-               self.config, expand_r)
+               router_starts, self.config, expand_r)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -786,7 +793,7 @@ class GraphIndex:
         metric = cfg.metric
         dedup = "list" if (mode == "packed" or w > 1) else "ring"
         hist = cfg.history_capacity(l)
-        n_start = cfg.router_starts
+        n_start = router_starts if router_starts else cfg.router_starts
         mh_eff = mh or cfg.max_hops
         rl_eff = min(rl, l) if rl else l
         packed_router = mode == "packed" or getattr(
