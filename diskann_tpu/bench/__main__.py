@@ -58,10 +58,18 @@ def main(argv=None):
     elif args.cmd == "check":
         from diskann_tpu.bench.registry import check_tolerances
 
-        with open(args.a) as f:
-            a = json.load(f)
-        with open(args.b) as f:
-            b = json.load(f)
+        def load_result(path):
+            with open(path) as f:
+                d = json.load(f)
+            # the round driver wraps bench.py's JSON line in
+            # {"cmd": ..., "rc": ..., "parsed": {...}} — unwrap it so one
+            # tolerance file gates both raw and driver-captured artifacts
+            if isinstance(d, dict) and isinstance(d.get("parsed"), dict):
+                return d["parsed"]
+            return d
+
+        a = load_result(args.a)
+        b = load_result(args.b)
         with open(args.tolerances) as f:
             tol = json.load(f)
         pf = check_tolerances(a, b, tol)

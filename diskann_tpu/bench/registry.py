@@ -75,11 +75,16 @@ class PassFail:
 
 
 def check_tolerances(
-    a: dict, b: dict, tolerances: dict[str, float], *, prefix: str = ""
+    a: dict, b: dict, tolerances: dict, *, prefix: str = ""
 ) -> PassFail:
-    """Relative A/B comparison: fail when |b-a|/|a| exceeds the tolerance.
-    `tolerances` maps metric names (dotted paths into the result dicts) to
-    allowed relative regressions."""
+    """Relative A/B comparison with the reference's DIRECTIONAL semantics
+    (`diskann-benchmark/src/disk_index/benchmarks.rs:239-276` check_metric):
+    for higher-is-better metrics only a DROP beyond tolerance fails; for
+    lower-is-better only a RISE fails; improvements always pass.
+
+    `tolerances` maps dotted metric paths to either a bare float (legacy:
+    symmetric |b-a|/|a| check) or an object
+    ``{"tol": 0.10, "direction": "higher_is_better"|"lower_is_better"}``."""
     pf = PassFail()
 
     def dig(d: dict, dotted: str):
@@ -90,15 +95,27 @@ def check_tolerances(
             cur = cur[part]
         return cur
 
-    for metric, tol in tolerances.items():
+    for metric, spec in tolerances.items():
+        if isinstance(spec, dict):
+            tol = float(spec["tol"])
+            direction = spec.get("direction", "symmetric")
+        else:
+            tol, direction = float(spec), "symmetric"
         va, vb = dig(a, metric), dig(b, metric)
         if va is None or vb is None:
             pf.check(False, f"{prefix}{metric}: missing in A or B")
             continue
         denom = max(abs(float(va)), 1e-30)
-        rel = abs(float(vb) - float(va)) / denom
+        change = (float(vb) - float(va)) / denom    # signed relative change
+        if direction == "higher_is_better":
+            ok = -change <= tol
+        elif direction == "lower_is_better":
+            ok = change <= tol
+        else:
+            ok = abs(change) <= tol
         pf.check(
-            rel <= tol,
-            f"{prefix}{metric}: A={va} B={vb} rel={rel:.4f} > tol={tol}",
+            ok,
+            f"{prefix}{metric}: A={va} B={vb} change={change:+.4f} "
+            f"tol={tol} ({direction}) REGRESSION",
         )
     return pf

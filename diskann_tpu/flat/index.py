@@ -63,6 +63,10 @@ class FlatIndex:
         if chunk is None:
             # ~256MB of distance matrix per chunk at B=10k.
             chunk = min(max(8192, 1 << 14), max(self.n, 128))
+            if self.metric == Metric.L1:
+                # L1 has no matmul form; the abs-diff fusion is [B, chunk, d]
+                # shaped, so keep chunks small enough to stay in VMEM tiles
+                chunk = min(2048, chunk)
         chunk = min(chunk, self.n)
         # pad the database so dynamic_slice chunks never clamp short
         pad = (-self.n) % chunk

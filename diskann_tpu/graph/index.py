@@ -327,7 +327,13 @@ class GraphIndex:
             rng = np.random.default_rng(0xD15C)
             sel = rng.choice(live, size=min(size, len(live)), replace=False)
             self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
+        # None/0 both mean "use the config default" (documented in search());
+        # negative values would reach lax.top_k and die with an opaque XLA
+        # error, so reject them here
         ns = n_start if n_start else cfg.router_starts
+        if ns < 1:
+            raise ValueError(f"router_starts must be >= 1, got {ns}")
+        ns = min(ns, int(self._router_ids.shape[0]))
         if mode == "packed" or getattr(self, "_hbm_vectors_dropped", False):
             return _router_topk_packed(
                 self.packed.self_codes, self.packed.self_aux,
@@ -793,7 +799,13 @@ class GraphIndex:
         metric = cfg.metric
         dedup = "list" if (mode == "packed" or w > 1) else "ring"
         hist = cfg.history_capacity(l)
+        # None/0 -> config default; clamp to the router table size (shapes
+        # are static under jit, so an oversized top_k would fail at trace)
         n_start = router_starts if router_starts else cfg.router_starts
+        if n_start < 1:
+            raise ValueError(f"router_starts must be >= 1, got {n_start}")
+        if use_router and self._router_ids is not None:
+            n_start = min(n_start, int(self._router_ids.shape[0]))
         mh_eff = mh or cfg.max_hops
         rl_eff = min(rl, l) if rl else l
         packed_router = mode == "packed" or getattr(

@@ -9,6 +9,8 @@ similarity score where smaller is better):
 - ``Cosine``            : ``1 - cos(x, y)`` — `implementations.rs:330`.
 - ``CosineNormalized``  : ``1 - <x, y>`` assuming unit vectors —
   `implementations.rs:374`.
+- ``L1``                : sum of absolute differences — reference
+  ``L1NormFunctor``, `implementations.rs:413`.
 
 The *formulation* is TPU-native: instead of one-pair-at-a-time SIMD loops
 (`diskann-wide`), every distance is a dense matrix contraction that XLA tiles
@@ -33,6 +35,7 @@ class Metric(enum.Enum):
     InnerProduct = "ip"
     Cosine = "cosine"
     CosineNormalized = "cosine_normalized"
+    L1 = "l1"
 
     @property
     def needs_norms(self) -> bool:
@@ -106,6 +109,16 @@ def distance_to_set(
 
     Returns [B, C] (or [B, N]) f32 distances (smaller = closer).
     """
+    if metric == Metric.L1:
+        # No matmul form exists for L1 — it is an elementwise abs-diff
+        # reduction on the VPU.  [B, C, d] candidate blocks (the search
+        # scorer shape) reduce in-register; a shared [N, d] database
+        # broadcasts to [B, N, d], so flat scans should block over N.
+        qf = q.astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        if x.ndim == 3:
+            return jnp.sum(jnp.abs(qf[:, None, :] - xf), axis=-1)
+        return jnp.sum(jnp.abs(qf[:, None, :] - xf[None, :, :]), axis=-1)
     dots = _dots(q, x)
     if metric == Metric.InnerProduct:
         return -dots

@@ -92,7 +92,9 @@ def main():
             LOG(f"point {pt} failed: {type(e).__name__}: {e}")
             continue
         r = knn_recall(ids, gt, k)
-        out = {**{kk: (v if v is not None else 4) for kk, v in pt.items()},
+        out = {**{kk: (v if v is not None else
+                       (idx.config.router_starts if kk == "rs" else v))
+                  for kk, v in pt.items()},
                "recall": round(float(r), 4), "qps": round(nq / dt),
                "hops": round(float(stats.hops.mean()), 1)}
         print(json.dumps(out), flush=True)

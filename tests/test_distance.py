@@ -17,6 +17,8 @@ from diskann_tpu.ops.distance import (
 def np_dist(q, x, metric):
     if metric == Metric.L2:
         return ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    if metric == Metric.L1:
+        return np.abs(q[:, None, :] - x[None, :, :]).sum(-1)
     dots = q @ x.T
     if metric == Metric.InnerProduct:
         return -dots

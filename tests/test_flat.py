@@ -6,7 +6,7 @@ from diskann_tpu.ops.distance import Metric
 from diskann_tpu.bench.recall import knn_recall_with_ties
 
 
-@pytest.mark.parametrize("metric", [Metric.L2, Metric.InnerProduct])
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.InnerProduct, Metric.L1])
 def test_flat_exact(rng, metric):
     x = rng.standard_normal((500, 32)).astype(np.float32)
     q = rng.standard_normal((20, 32)).astype(np.float32)
@@ -15,6 +15,8 @@ def test_flat_exact(rng, metric):
 
     if metric == Metric.L2:
         full = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    elif metric == Metric.L1:
+        full = np.abs(q[:, None, :] - x[None, :, :]).sum(-1)
     else:
         full = -(q @ x.T)
     gt_d = np.sort(full, axis=1)[:, :10]

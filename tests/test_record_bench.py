@@ -79,3 +79,39 @@ def test_small_benchmark_job():
     sweep = res["result"]["search"][0]
     assert sweep["recall"] >= 0.9
     assert sweep["qps"] > 0
+
+
+def test_check_tolerances_directional():
+    """Reference semantics (`disk_index/benchmarks.rs:239-276`): for
+    higher-is-better metrics only a drop fails; improvements always pass."""
+    a = {"qps": 100.0, "lat": 10.0}
+    hib = {"qps": {"tol": 0.10, "direction": "higher_is_better"}}
+    lib = {"lat": {"tol": 0.15, "direction": "lower_is_better"}}
+    # big improvement passes (symmetric check would fail it)
+    assert check_tolerances(a, {"qps": 200.0}, hib).passed
+    # drop within tolerance passes
+    assert check_tolerances(a, {"qps": 91.0}, hib).passed
+    # drop beyond tolerance fails
+    assert not check_tolerances(a, {"qps": 85.0}, hib).passed
+    # latency: drop (improvement) passes, rise beyond tol fails
+    assert check_tolerances(a, {"lat": 2.0}, lib).passed
+    assert not check_tolerances(a, {"lat": 12.0}, lib).passed
+
+
+def test_check_tolerances_headline_gate():
+    """The shipped headline tolerance file gates BENCH_r{N}.json artifacts."""
+    import json
+    import os
+
+    tol_path = os.path.join(
+        os.path.dirname(__file__), "..", "diskann_tpu", "bench", "example",
+        "headline-tolerances.json",
+    )
+    with open(tol_path) as f:
+        tol = json.load(f)
+    r1 = {"value": 14478.0, "extra": {"recall": 0.951,
+                                      "build_points_per_s": 2969}}
+    r2 = {"value": 52466.0, "extra": {"recall": 0.9536,
+                                      "build_points_per_s": 3701}}
+    assert check_tolerances(r1, r2, tol).passed      # r2 improved on r1
+    assert not check_tolerances(r2, r1, tol).passed  # reverse = regression

@@ -201,3 +201,24 @@ def test_router_starts_override(rng):
     _, ids_p, _ = idx.search(q, 5, l_search=32, mode="packed",
                              router_starts=8)
     assert recall(ids_p) >= 0.85
+
+
+def test_l1_metric_end_to_end(rng):
+    """L1 traversal on a fully connected graph is exact (the L1 analogue of
+    test_fully_connected_graph_is_exact; reference `L1NormFunctor`,
+    `diskann-vector/src/distance/implementations.rs:413`)."""
+    n, d, k = 60, 12, 5
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    adj = np.tile(np.arange(n, dtype=np.int32), (n, 1))
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+    v = jnp.asarray(vectors)
+    res = beam_search(
+        v, squared_norms(v), jnp.asarray(adj),
+        jnp.asarray([0], jnp.int32), jnp.asarray(queries),
+        metric=Metric.L1, l_search=k, history_capacity=16384,
+    )
+    full = np.abs(queries[:, None, :] - vectors[None, :, :]).sum(-1)
+    want = np.sort(full, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(res.dists)[:, :k], want, rtol=1e-4, atol=1e-4
+    )
