@@ -121,6 +121,20 @@ def _member_scan(queries, member_ids, vectors, sq_norms, metric: Metric,
     return out_d, jnp.where(jnp.isfinite(out_d), out_i, -1)
 
 
+def _router_pick(d, router_ids, n_start: int):
+    """Top-n_start router entries. approx_min_k over the [B, S] distance
+    matrix: entry points only need to be NEAR-nearest (they seed a walk),
+    and the approximate bucketed reduction skips the full row sort that
+    lax.top_k pays on S=64k rows (recall delta unmeasurable on the 1M
+    bench; the reference's start-point strategies are random/medoid
+    samples anyway, `start_point.rs:19-41`)."""
+    if d.shape[1] <= 1024:
+        _, top = jax.lax.top_k(-d, n_start)
+    else:
+        _, top = jax.lax.approx_min_k(d, n_start)
+    return router_ids[top]
+
+
 @partial(jax.jit, static_argnames=("metric", "n_start"))
 def _router_topk_full(vectors, sq_norms, router_ids, queries,
                       metric: Metric, n_start: int):
@@ -128,8 +142,7 @@ def _router_topk_full(vectors, sq_norms, router_ids, queries,
     rv = vectors[router_ids]                      # [S, d]
     rsq = sq_norms[router_ids]
     d = _router_dist(queries, rv, rsq, metric)
-    _, top = jax.lax.top_k(-d, n_start)
-    return router_ids[top]
+    return _router_pick(d, router_ids, n_start)
 
 
 def _router_dist(queries, rv, rsq, metric: Metric):
@@ -159,8 +172,7 @@ def _router_topk_packed(self_codes, self_aux, proj, pscale, pbias2,
     else:
         qsq = jnp.sum(qb * qb, axis=-1, keepdims=True)
         d = qsq + self_aux[router_ids][None, :] - 2.0 * dots
-    _, top = jax.lax.top_k(-d, n_start)
-    return router_ids[top]
+    return _router_pick(d, router_ids, n_start)
 
 
 @jax.jit
@@ -679,31 +691,47 @@ class GraphIndex:
             (self.state.capacity,), jnp.float32
         ).at[: self.n].set(pc.cscale)
 
-    def attach_packed(self, *, dp: int | None = 64, sigma: float = 4.0) -> None:
+    def attach_packed(self, *, dp: int | None = 64, sigma: float = 4.0,
+                      writable: bool = True, refresh_block: int = 1 << 15,
+                      ) -> None:
         """Build the packed neighbor-code search layout: PCA-project vectors
         to ``dp`` dims, quantize to int8, and materialize each node's
         neighbors' codes contiguously per node.  The TPU analogue of the
         disk index's sector layout (one read serves one expansion,
         `disk_index_writer.rs`); call after build / after heavy updates —
         or pass ``build_mode="packed"`` to `build` to maintain it
-        incrementally from the start."""
+        incrementally from the start.
+
+        ``dp=dim`` (e.g. 128) keeps FULL-dimension int8 codes: traversal
+        ordering becomes near-exact so a small rerank budget suffices — at
+        1M scale such a table exceeds the writable 2^31-word scatter limit,
+        so attach it ``writable=False`` (search-only; streaming updates
+        need a re-attach).  Training/encoding run on device; only a 64k
+        sample crosses to host for the PCA eigendecomposition."""
         from diskann_tpu.graph import packed as packed_mod
 
-        vecs = np.asarray(self.state.vectors[: self.n], np.float32)
+        sample = np.asarray(
+            self.state.vectors[: min(1 << 16, self.n)], np.float32
+        )
         proj, pscale, pbias2 = packed_mod.train_packed(
-            vecs[: 1 << 16], min(dp or self.dim, self.dim),
+            sample, min(dp or self.dim, self.dim),
             self.config.metric, sigma=sigma,
         )
+        # free any previous layout BEFORE allocating the new multi-GB table
+        self.packed = None
+        self._compose_cache = None
         p = packed_mod.alloc_packed(
             proj, pscale, pbias2, self.state.capacity,
-            self.config.max_degree_with_slack,
+            self.config.max_degree_with_slack, writable=writable,
         )
-        codes, aux = packed_mod.encode(p, jnp.asarray(vecs), self.config.metric)
+        codes, aux = packed_mod.encode(
+            p, self.state.vectors[: self.n], self.config.metric
+        )
         p = packed_mod.set_self_codes_donated(
             p, jnp.arange(self.n, dtype=jnp.int32), codes, aux
         )
         # full nbr-table rebuild in row blocks (bounds gather memory)
-        bs = 1 << 16
+        bs = refresh_block
         for off in range(0, self.state.capacity, bs):
             rows = jnp.arange(off, min(off + bs, self.state.capacity),
                               dtype=jnp.int32)
@@ -785,8 +813,12 @@ class GraphIndex:
         more than the compute at bench shape; composing them leaves one.
         Cached per config (the bench L-sweep hits several)."""
         expand_r = self.packed.r_pack if mode == "packed" else None
+        sdef0, _, _ = self._scorer_for_mode(mode)
+        # sdef0.name carries the scorer identity incl. packed (rp, dp) — a
+        # re-attach at a different dp must not reuse a cached program whose
+        # closure baked the old layout's shapes
         key = (mode, k, l, w, rl, mh, fused, wire, use_router,
-               router_starts, self.config, expand_r)
+               router_starts, self.config, expand_r, sdef0.name)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)

@@ -32,21 +32,52 @@ def range_search(
     radius: float,
     *,
     l_init: int | None = None,
-    l_max: int = 1024,
+    l_max: int = 8192,
     mode: str = "full",
-) -> list[np.ndarray]:
+    return_complete: bool = False,
+    resume: bool = True,
+):
     """All ids within `radius` of each query (reference `Range::search`
-    two-round scheme). Returns a list of id arrays (variable length)."""
+    two-round scheme). Returns a list of id arrays (variable length); with
+    ``return_complete=True`` also a ``[B] bool`` array marking queries whose
+    radius boundary was provably found (the furthest retrieved point lies
+    OUTSIDE the radius, or the graph ran out of reachable points).  A query
+    still hitting the ``l_max`` window cap reports ``complete=False`` instead
+    of silently truncating.
+
+    For a plain GraphIndex full-precision search the L-doubling rounds RESUME
+    the prior round's scratch (`grow_resume_state`) instead of re-searching
+    from the start points — the reference restarts each round
+    (`range_search.rs` two-round search); resuming pays only the incremental
+    frontier."""
     queries = np.asarray(queries, np.float32)
     if queries.ndim == 1:
         queries = queries[None]
     b = queries.shape[0]
     l = l_init or max(32, index.config.l_build)
-    done = np.zeros(b, bool)
+    if resume and mode == "full" and hasattr(index, "_scorer_for_mode") \
+            and not getattr(index, "_hbm_vectors_dropped", False):
+        d, ids = _range_rounds_resume(index, queries, radius, l, l_max)
+    else:
+        d, ids = _range_rounds_restart(index, queries, radius, l, l_max, mode)
     results: list[np.ndarray] = [np.empty(0, np.int64)] * b
-    # tiered/sharded indexes have no `mode` kwarg (their tier IS the mode)
+    complete = np.zeros(b, bool)
+    for i in range(b):
+        inside = (ids[i] >= 0) & (d[i] <= radius)
+        results[i] = ids[i][inside].astype(np.int64)
+        full = (ids[i] >= 0).all()
+        complete[i] = (not full) or (d[i][-1] > radius)
+    if return_complete:
+        return results, complete
+    return results
+
+
+def _range_rounds_restart(index, queries, radius, l, l_max, mode):
+    """L-doubling rounds, each a fresh search (composite indexes whose
+    search() is itself a multi-dispatch pipeline)."""
     import inspect
 
+    # tiered/sharded indexes have no `mode` kwarg (their tier IS the mode)
     kw = (
         {"mode": mode}
         if "mode" in inspect.signature(index.search).parameters
@@ -54,19 +85,59 @@ def range_search(
     )
     while True:
         d, ids, _ = index.search(queries, k=l, l_search=l, **kw)
-        for i in range(b):
-            if done[i]:
-                continue
-            inside = (ids[i] >= 0) & (d[i] <= radius)
-            results[i] = ids[i][inside].astype(np.int64)
-            # boundary found if the furthest retrieved point is outside the
-            # radius (or the list isn't full) — else L was too small
-            full = (ids[i] >= 0).all()
-            done[i] = (not full) or (d[i][-1] > radius)
+        full = (ids >= 0).all(axis=1)
+        done = ~full | (d[:, -1] > radius)
         if done.all() or l >= l_max:
-            break
+            return d, ids
         l = min(2 * l, l_max)
-    return results
+
+
+def _range_rounds_resume(index, queries, radius, l, l_max):
+    """L-doubling rounds over ONE persistent search scratch: each round
+    grows the window (`grow_resume_state`) and resumes, so already-expanded
+    nodes are never re-walked."""
+    import jax.numpy as jnp
+
+    from diskann_tpu.graph.search import (
+        beam_search_scored, grow_resume_state, search_geometry,
+    )
+
+    sdef, sdata, expand_r = index._scorer_for_mode("full")
+    start = index._start()
+    w = index.config.beam_width
+    q = jnp.asarray(queries)
+    st = None
+    while True:
+        geo = dict(
+            l_search=l, reserve=0, beam_width=w,
+            r=index.state.adjacency.shape[1], s=start.shape[-1],
+            history_capacity=index.config.history_capacity(l),
+        )
+        l_tot, _, h = search_geometry(**geo)
+        if st is not None:
+            st = grow_resume_state(st, l_tot, h)
+        res, st = beam_search_scored(
+            sdef, sdata, index.state.adjacency, start, q,
+            l_search=l, beam_width=w, max_hops=index.config.max_hops,
+            history_capacity=index.config.history_capacity(l),
+            expand_r=expand_r,
+            resume_state=st, return_state=True,
+            reseed_ring=st is not None,
+        )
+        d = np.asarray(res.dists[:, :l])
+        ids = np.asarray(res.ids[:, :l])
+        valid = np.asarray(index.state.valid)
+        live = (ids >= 0) & valid[np.clip(ids, 0, len(valid) - 1)]
+        d = np.where(live, d, np.inf)
+        ids = np.where(live, ids, -1)
+        order = np.argsort(d, axis=1)
+        d = np.take_along_axis(d, order, axis=1)
+        ids = np.take_along_axis(ids, order, axis=1)
+        full = (ids >= 0).all(axis=1)
+        done = ~full | (d[:, -1] > radius)
+        if done.all() or l >= l_max:
+            return d, ids
+        l = min(2 * l, l_max)
 
 
 @partial(jax.jit, static_argnames=())

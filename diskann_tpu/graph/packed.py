@@ -160,18 +160,22 @@ def _empty_rows(n: int, r_pack: int, dp: int) -> jax.Array:
     return jnp.tile(jnp.asarray(tmpl.reshape(nwr, 128)), (n, 1))
 
 
-def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int) -> PackedState:
+def alloc_packed(proj, pscale, pbias2, capacity: int, r_slack: int,
+                 *, writable: bool = True) -> PackedState:
     dp = proj.shape[1]
     rp = padded_degree(r_slack, dp)
     words = (capacity + 1) * n_wrows(rp, dp) * 128
-    if words >= 1 << 31:
+    if writable and words >= 1 << 31:
         # append_edges addresses the word table through FLAT int32 affine
         # scatters (the only scatter form that doesn't serialize on TPU) —
-        # a table over 2^31 words cannot be indexed that way
+        # a table over 2^31 words cannot be indexed that way.  Search and
+        # refresh_rows index by WORD-ROW (< 2^24 at any realistic cap), so a
+        # read-only layout (attach_packed(writable=False)) may exceed this.
         raise ValueError(
             f"packed table would be {words} i32 words (>= 2^31): "
             f"capacity={capacity} r_pack={rp} dp={dp}.  Reduce dp or "
-            f"max_degree, or shard the index (ShardedGraphIndex)."
+            f"max_degree, shard the index (ShardedGraphIndex), or attach "
+            f"a read-only layout (writable=False) for search-only use."
         )
     # +1 sacrificial DUMP row at index `capacity`: dropped writes (sentinel
     # id = cap) land there instead of needing per-write masking
@@ -342,6 +346,12 @@ def append_edges(packed: PackedState, tgt, slot, src, ok) -> PackedState:
       code word: t*nwr*128 + 2*idw*128 + s*dpw + k,  k in [0, dpw)
 
     Fully in place under donation."""
+    if packed.rows.size >= 1 << 31:
+        raise ValueError(
+            "append_edges needs flat int32 word addressing; this packed "
+            "table was attached read-only (>= 2^31 words).  Re-attach with "
+            "a smaller dp for streaming updates."
+        )
     cap = packed.self_codes.shape[0]
     dp = packed.dp
     dpw = dp // 4

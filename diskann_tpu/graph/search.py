@@ -579,19 +579,24 @@ def beam_search_scored(
             match_d, match_i = st.match_d, st.match_i
 
         # ---- 5. merge into best lists: one multi-operand sort ----
+        # (id, expanded) ride ONE i32 word (id*2 | exp) so the merge moves
+        # 2 sort operands instead of 3 — sort cost scales with operand
+        # bytes and these merges dominate the non-DMA hop time.  Fresh
+        # candidates enter unexpanded; -1 pads pack to -1 (= id -1, exp 1).
         md = jnp.concatenate([st.best_d, cd] + ([extra[0]] if extra else []), axis=1)
-        mi = jnp.concatenate([st.best_i, cand_ids] + ([extra[1]] if extra else []), axis=1)
-        # fresh candidates enter unexpanded (0); padded ones never selected (1)
-        me_tail = [jnp.where(cand_ids >= 0, 0, 1).astype(jnp.int32)]
+        key_parts = [
+            st.best_i * 2 + best_exp,
+            jnp.where(cand_ids >= 0, cand_ids * 2, -1),
+        ]
         if extra:
-            me_tail.append(jnp.where(extra[1] >= 0, 0, 1).astype(jnp.int32))
-        me = jnp.concatenate([best_exp] + me_tail, axis=1)
-        md, mi, me = jax.lax.sort((md, mi, me), dimension=-1, num_keys=1)
+            key_parts.append(jnp.where(extra[1] >= 0, extra[1] * 2, -1))
+        key = jnp.concatenate(key_parts, axis=1)
+        md, key = jax.lax.sort((md, key), dimension=-1, num_keys=1)
 
         new_st = SearchState(
             best_d=md[:, :l],
-            best_i=mi[:, :l],
-            best_exp=me[:, :l],
+            best_i=key[:, :l] >> 1,
+            best_exp=(key[:, :l] & 1).astype(jnp.int32),
             ring=ring,
             pool_d=pool_d,
             pool_i=pool_i,

@@ -35,20 +35,47 @@ class VectorSet:
         self.quant_mode: str | None = None
         self._cursors: dict[int, Any] = {}
         self._next_cursor = 0
+        # write buffer: single VADDs accumulate host-side and commit as one
+        # minibatch at the next read (or when a minibatch fills) — a lone
+        # add would otherwise pay a full padded insert_batch dispatch
+        self._pending: list[tuple[str, np.ndarray, Any]] = []
+        # ids whose labels changed since the last filtered search; applied
+        # incrementally via LabelSet.set_labels instead of a full O(capacity)
+        # rebuild (None = label set never built yet)
+        self._label_dirty_ids: set[int] | None = None
 
     # VADD
     def add(self, name: str, vector, attribute: Any = None) -> bool:
-        if name in self.name_to_id:
+        if name in self.name_to_id or any(
+            n == name for n, _, _ in self._pending
+        ):
             return False  # reference semantics: element ids are unique
-        (iid,) = self.index.insert(np.asarray(vector, np.float32)[None])
-        self.name_to_id[name] = int(iid)
-        self.id_to_name[int(iid)] = name
-        if attribute is not None:
-            self.attributes[name] = attribute
-        self._labels_dirty = True
-        if self.quant_mode is not None:
-            self._encode_rows(np.asarray([iid]))
+        self._pending.append(
+            (name, np.asarray(vector, np.float32), attribute)
+        )
+        if len(self._pending) >= self.index.insert_batch_size:
+            self._flush()
         return True
+
+    def _flush(self) -> None:
+        """Commit buffered VADDs as one insert minibatch."""
+        if not self._pending:
+            return
+        pend, self._pending = self._pending, []
+        vecs = np.stack([v for _, v, _ in pend])
+        ids = self.index.insert(vecs)
+        for (name, _, attr), iid in zip(pend, ids):
+            self.name_to_id[name] = int(iid)
+            self.id_to_name[int(iid)] = name
+            if attr is not None:
+                self.attributes[name] = attr
+            self._mark_label_dirty(int(iid))
+        if self.quant_mode is not None:
+            self._encode_rows(np.asarray(ids))
+
+    def _mark_label_dirty(self, iid: int) -> None:
+        if self._label_dirty_ids is not None:
+            self._label_dirty_ids.add(iid)
 
     def add_batch(self, names, vectors, attributes=None) -> int:
         """Batched VADD — the streaming-server fast path (one device
@@ -64,20 +91,24 @@ class VectorSet:
             self.id_to_name[int(ids[j])] = name
             if attributes is not None and attributes[i] is not None:
                 self.attributes[name] = attributes[i]
-        self._labels_dirty = True
+            self._mark_label_dirty(int(ids[j]))
         if self.quant_mode is not None:
             self._encode_rows(np.asarray(ids))
         return len(fresh)
 
     # VREM
     def remove(self, name: str) -> bool:
+        for j, (n, _, _) in enumerate(self._pending):
+            if n == name:           # buffered, never committed: drop it
+                self._pending.pop(j)
+                return True
         iid = self.name_to_id.pop(name, None)
         if iid is None:
             return False
         self.id_to_name.pop(iid, None)
         self.attributes.pop(name, None)
         self.index.delete([iid])
-        self._labels_dirty = True
+        self._mark_label_dirty(iid)
         return True
 
     # ------------------------------------------------------- dynamic quant
@@ -86,6 +117,7 @@ class VectorSet:
         `build_quant_table`, `diskann-garnet/src/quantization.rs`): after
         this, `backfill_quant_vectors` encodes existing rows and subsequent
         adds are encoded incrementally, so searches can run quantized."""
+        self._flush()
         if kind == "spherical":
             self.index.attach_spherical(**kw)
         elif kind == "sq":
@@ -103,6 +135,7 @@ class VectorSet:
         between training and backfill."""
         if self.quant_mode is None:
             raise ValueError("no quant table built")
+        self._flush()
         ids = np.fromiter(self.id_to_name, np.int64, len(self.id_to_name))
         self._encode_rows(ids)
         return len(ids)
@@ -148,6 +181,7 @@ class VectorSet:
     # VSIM with a query vector
     def search_vector(self, vector, k: int = 10, *,
                       l_search: int | None = None, mode: str | None = None):
+        self._flush()
         d, ids, _ = self.index.search(
             np.asarray(vector, np.float32)[None], k=k, l_search=l_search,
             mode=self._search_mode(mode),
@@ -167,9 +201,8 @@ class VectorSet:
         list of label strings) are matched against `predicate`
         ("a & !b" syntax); unlabeled elements never match.
         max_filtering_effort caps the AdaptiveL re-search scale."""
-        if self._labels_dirty:
-            self.index.attach_labels(self._label_lists())
-            self._labels_dirty = False
+        self._flush()
+        self._sync_labels()
         d, ids, _ = self.index.search_filtered(
             np.asarray(vector, np.float32)[None], predicate, k=k,
             l_search=l_search, max_l_scale=max_filtering_effort,
@@ -180,24 +213,40 @@ class VectorSet:
             if int(i) in self.id_to_name
         ]
 
-    _labels_dirty = True
+    def _labels_of(self, iid: int) -> list[str]:
+        a = self.attributes.get(self.id_to_name.get(iid, ""))
+        if isinstance(a, str):
+            return [a]
+        if isinstance(a, (list, tuple)) and a and all(
+            isinstance(s, str) for s in a
+        ):
+            return list(a)
+        return []
 
-    def _label_lists(self) -> list:
-        """Per-slot label lists derived from string(-list) attributes."""
-        cap = self.index.state.capacity
-        lists: list[list[str]] = [[] for _ in range(cap)]
-        for name, iid in self.name_to_id.items():
-            a = self.attributes.get(name)
-            if isinstance(a, str):
-                lists[iid] = [a]
-            elif isinstance(a, (list, tuple)) and a and all(
-                isinstance(s, str) for s in a
-            ):
-                lists[iid] = list(a)
-        return lists
+    def _sync_labels(self) -> None:
+        """Bring the index's LabelSet up to date.  First filtered search
+        builds it in full; afterwards only ids touched by add/remove/
+        set_attribute re-encode, via the incremental `LabelSet.set_labels`
+        device scatter (O(dirty) instead of O(capacity))."""
+        if self._label_dirty_ids is None:
+            cap = self.index.state.capacity
+            lists: list[list[str]] = [[] for _ in range(cap)]
+            for name, iid in self.name_to_id.items():
+                lists[iid] = self._labels_of(iid)
+            self.index.attach_labels(lists)
+            self._label_dirty_ids = set()
+        elif self._label_dirty_ids:
+            ids = np.fromiter(
+                self._label_dirty_ids, np.int64, len(self._label_dirty_ids)
+            )
+            self.index.labels.set_labels(
+                ids, [self._labels_of(int(i)) for i in ids]
+            )
+            self._label_dirty_ids.clear()
 
     # VSIM with an element name
     def search_element(self, name: str, k: int = 10, **kw):
+        self._flush()
         iid = self.name_to_id[name]
         vec = np.asarray(self.index.state.vectors[iid])
         out = self.search_vector(vec, k + 1, **kw)
@@ -207,6 +256,7 @@ class VectorSet:
     def start_search(self, vector, page_size: int = 10, *,
                      l_search: int | None = None) -> tuple[int, list]:
         """Begin a resumable search; returns (cursor, first page)."""
+        self._flush()
         from diskann_tpu.graph.modes import PagedSearch
 
         pager = PagedSearch(
@@ -238,18 +288,25 @@ class VectorSet:
         return self._cursors.pop(cursor, None) is not None
 
     def set_attribute(self, name: str, attribute: Any) -> bool:
+        for j, (n, v, _) in enumerate(self._pending):
+            if n == name:
+                self._pending[j] = (n, v, attribute)
+                return True
         if name not in self.name_to_id:
             return False
         self.attributes[name] = attribute
-        self._labels_dirty = True
+        self._mark_label_dirty(self.name_to_id[name])
         return True
 
     def get_attribute(self, name: str) -> Any:
+        for n, _, a in self._pending:
+            if n == name:
+                return a
         return self.attributes.get(name)
 
     # CARD
     def card(self) -> int:
-        return len(self.name_to_id)
+        return len(self.name_to_id) + len(self._pending)
 
 
 class VectorService:

@@ -283,3 +283,40 @@ def test_determinant_rerank_end_to_end(built):
     # no duplicates within a row
     for row in ids:
         assert len(set(row.tolist())) == len(row)
+
+
+def test_range_search_no_silent_truncation(built):
+    """A radius containing MORE points than the window cap must either keep
+    growing past it (default l_max) or report complete=False — never a
+    silently partial set (`range_search.rs` semantics + completeness)."""
+    x, idx, rng = built
+    q = x[3:4] + 0.01
+    # radius covering the whole dataset (>1024 points in range, n=1200)
+    radius = float(((q[:, None, :] - x[None, :, :]) ** 2).sum(-1).max()) + 1.0
+    res, complete = range_search(
+        idx, q, radius, l_init=32, l_max=4096, return_complete=True
+    )
+    assert complete[0]
+    assert len(res[0]) > 1024                       # past the old hard cap
+    assert len(res[0]) >= 0.95 * len(x)             # essentially everything
+    # with a cap below the in-range count, the flag must say INCOMPLETE
+    res2, complete2 = range_search(
+        idx, q, radius, l_init=32, l_max=256, return_complete=True
+    )
+    assert not complete2[0]
+    assert len(res2[0]) <= 256
+
+
+def test_range_search_resume_matches_restart(built):
+    """The resume-based L-growth rounds return the same in-range sets as
+    fresh re-searches (boundary queries, mid-size radius)."""
+    x, idx, rng = built
+    q = x[7:12] + 0.01
+    radius = 2.0
+    a = range_search(idx, q, radius, l_init=32, resume=True)
+    b = range_search(idx, q, radius, l_init=32, resume=False)
+    for i in range(len(a)):
+        ja = set(a[i].tolist())
+        jb = set(b[i].tolist())
+        union = max(len(ja | jb), 1)
+        assert len(ja & jb) / union >= 0.95, (i, ja ^ jb)
