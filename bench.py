@@ -139,6 +139,47 @@ def main():
         LOG(f"[bench] groundtruth in {time.time()-t0:.1f}s")
         np.save(gt_cache, gt)
         del flat
+
+    # ---- filtered-workload fixtures (YFCC-row analogue): a zipf-ish
+    # categorical label per point; filtered GT = exact scan over members.
+    # Label assignment is SEEDED so cached GT files stay valid.
+    filt_preds = ()
+    if os.environ.get("BENCH_FILTERED", "1") == "1":
+        filt_preds = ("cat0", "cat7", "cat0 | cat1")
+        lrng = np.random.default_rng(0xF117)
+        weights = 1.0 / np.arange(1, 33) ** 0.8
+        weights /= weights.sum()
+        cats = lrng.choice(32, size=n, p=weights)
+        filt_gt = {}
+        fkey = lambda p: p.replace(" ", "").replace("|", "OR")  # noqa: E731
+        need = [
+            p for p in filt_preds
+            if not os.path.exists(gt_cache + f".f{fkey(p)}.npy")
+        ]
+        if need and x is None:
+            x = make_clustered(0, n, nq, d, n_clusters=4096, sigma=0.35,
+                               device=True)[0]
+        for p in filt_preds:
+            fcache = gt_cache + f".f{fkey(p)}.npy"
+            if os.path.exists(fcache):
+                filt_gt[p] = np.load(fcache)
+                continue
+            if p == "cat0":
+                m = cats == 0
+            elif p == "cat7":
+                m = cats == 7
+            else:
+                m = (cats == 0) | (cats == 1)
+            members = np.nonzero(m)[0]
+            LOG(f"[bench] filtered GT for {p!r} over {len(members)} members")
+            with _Watchdog(2400, f"filtered GT {p}"):
+                import jax.numpy as jnp
+
+                sub = FlatIndex(x[jnp.asarray(members)], Metric.L2)
+                _, gl = sub.search(np.asarray(q), k=k)
+                filt_gt[p] = members[np.asarray(gl)]
+                del sub
+            np.save(fcache, filt_gt[p])
     # keep the dataset device-resident through the build: insert() slices
     # batches on device, so the 512MB array never crosses the ~54MB/s relay
     # (a host round trip costs ~20s of pure transfer).  occ=256 build
@@ -194,6 +235,16 @@ def main():
             idx.save(idx_cache)
             LOG(f"[bench] index saved to {idx_cache} "
                 f"({time.time()-t0:.1f}s)")
+
+    # optional read-only full-dim packed re-attach: dp=128 codes make the
+    # traversal ordering near-exact so a small rerank budget holds recall
+    attach_dp = int(os.environ.get("BENCH_ATTACH_DP", 0))
+    if attach_dp:
+        LOG(f"[bench] re-attaching packed layout at dp={attach_dp}")
+        t0 = time.time()
+        with _Watchdog(2400, "packed re-attach"):
+            idx.attach_packed(dp=attach_dp, writable=False)
+        LOG(f"[bench] re-attach in {time.time()-t0:.1f}s")
 
     qn = np.asarray(q)
     rerank_l = int(os.environ.get("BENCH_RERANK", 0)) or None
@@ -259,6 +310,37 @@ def main():
         if r >= 0.999:
             break
 
+    # ---- filtered family (YFCC row analogue): packed traversal + inline
+    # beta filter + rerank, one composed dispatch per sub-batch ----
+    filt_rows = []
+    if filt_preds:
+        idx.attach_labels([[f"cat{c}"] for c in cats])
+        lf = int(os.environ.get("BENCH_FILTERED_L", 90))
+        for p in filt_preds:
+            try:
+                with _Watchdog(1500, f"filtered sweep {p}"):
+                    idx.search_filtered(
+                        qn, p, k, l_search=lf, mode="packed",
+                        query_dtype=query_dtype, max_hops=max_hops,
+                        scan_threshold=0,
+                    )  # compile
+                    t0 = time.time()
+                    _, fids, _ = idx.search_filtered(
+                        qn, p, k, l_search=lf, mode="packed",
+                        query_dtype=query_dtype, max_hops=max_hops,
+                        scan_threshold=0,
+                    )
+                    fdt = time.time() - t0
+            except Exception as fe:
+                LOG(f"[bench] filtered {p!r} failed: {fe}")
+                continue
+            fr = knn_recall(fids, filt_gt[p], k)
+            row = {"predicate": p, "recall": round(fr, 4),
+                   "qps": round(nq / fdt)}
+            filt_rows.append(row)
+            LOG(f"[bench] filtered {p!r}: recall@{k}={fr:.4f} "
+                f"qps={nq/fdt:.0f}")
+
     if not sweep:
         raise TimeoutError("no sweep point completed (wedged relay?)")
     if best is None:
@@ -282,6 +364,7 @@ def main():
             "build_points_per_s": round(n / build_s) if build_s else None,
             "n": n,
             "sweep": sweep,
+            "filtered": filt_rows,
         },
     }
     print(json.dumps(out), flush=True)

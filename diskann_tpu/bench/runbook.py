@@ -90,12 +90,18 @@ class RunbookExecutor:
         *,
         k: int = 10,
         l_search: int | None = None,
+        delete_method: str = "scan",
+        search_kwargs: dict | None = None,
+        exact_checkpoints: bool = True,
     ):
         self.index = index
         self.data = np.asarray(data, np.float32)
         self.queries = np.asarray(queries, np.float32)
         self.k = k
         self.l_search = l_search
+        self.delete_method = delete_method
+        self.search_kwargs = dict(search_kwargs or {})
+        self.exact_checkpoints = exact_checkpoints
         self.tag_to_id: dict[int, int] = {}   # live tag -> internal id
         self.tag_to_row: dict[int, int] = {}  # live tag -> dataset row served
         self.log: list[dict] = []
@@ -124,7 +130,8 @@ class RunbookExecutor:
                 ]
                 if tags:
                     self.index.delete(
-                        np.array([self.tag_to_id[t] for t in tags], np.int64)
+                        np.array([self.tag_to_id[t] for t in tags], np.int64),
+                        method=self.delete_method,
                     )
                 for t in tags:
                     del self.tag_to_id[t]
@@ -146,7 +153,8 @@ class RunbookExecutor:
                     self.index.delete(
                         np.array(
                             [self.tag_to_id[t] for t, _ in pairs], np.int64
-                        )
+                        ),
+                        method=self.delete_method,
                     )
                     rows = [r for _, r in pairs]
                     ids = self.index.insert(self.data[rows])
@@ -180,5 +188,6 @@ class RunbookExecutor:
             -1,
         )
         l = self.l_search or max(self.index.config.l_build, 2 * k)
-        _, ids, _ = self.index.search(self.queries, k=k, l_search=l)
+        _, ids, _ = self.index.search(self.queries, k=k, l_search=l,
+                                      **self.search_kwargs)
         return knn_recall(ids, gt_ids, k)

@@ -23,6 +23,7 @@ class LabelSet:
         self.vocab: dict[str, int] = dict(vocab or {})
         self.n_words = n_words
         self.bits = jnp.zeros((capacity, n_words), jnp.uint32)
+        self.version = 0   # bumped on every mutation (cache invalidation)
 
     @classmethod
     def from_lists(cls, labels_per_point: list[list[str]], capacity: int | None = None):
@@ -77,6 +78,7 @@ class LabelSet:
         self.bits = self.bits.at[jnp.asarray(ids, jnp.int32)].set(
             jnp.asarray(rows), mode="drop"
         )
+        self.version += 1
 
     def test(self, label: str, ids: jax.Array) -> jax.Array:
         """Device bit-test: which of `ids` carry `label`."""

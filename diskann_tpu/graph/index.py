@@ -229,6 +229,7 @@ class GraphIndex:
         insert_batch_size: int = 1024,
         build_mode: str = "full",
         packed_dp: int = 64,
+        capacity: int | None = None,
         **kwargs,
     ) -> "GraphIndex":
         """Bulk-build an index over `vectors` via batched multi_insert.
@@ -246,10 +247,13 @@ class GraphIndex:
         if not isinstance(vectors, jax.Array):
             vectors = np.asarray(vectors)
         n, dim = vectors.shape
+        # an explicit capacity (> n) lets callers UNIFY array shapes across
+        # many builds (e.g. merged shard builds) so compiled kernels are
+        # shared instead of re-specialized per build
         idx = cls(
             dim,
             config,
-            capacity=max(n, insert_batch_size),
+            capacity=max(capacity or 0, n, insert_batch_size),
             dtype=dtype,
             insert_batch_size=insert_batch_size,
             **kwargs,
@@ -691,8 +695,61 @@ class GraphIndex:
             (self.state.capacity,), jnp.float32
         ).at[: self.n].set(pc.cscale)
 
+    _SPILL_ATTRS = (
+        "pq_codes", "sq_codes", "sq_aux", "sph_words", "sph_norms",
+        "sph_cscale", "mm_codes", "mm_lo", "mm_step", "mm_aux",
+    )
+
+    def _spill_device_state(self) -> dict:
+        """Download every index-owned device array and release its HBM.
+
+        TPU HBM buffers are CONTIGUOUS: after dropping a multi-GB table the
+        arena is left fragmented by the smaller arrays interleaved around
+        it, and an even larger allocation fails with ResourceExhausted even
+        though total free bytes suffice.  Spilling everything empties the
+        arena so the big table allocates first; `_restore_device_state`
+        re-uploads the rest into the tail."""
+        host: dict = {"state": jax.device_get(self.state)}
+        self.state = graph_state.GraphArrays(
+            vectors=jnp.zeros((1, 1), jnp.float32),
+            sq_norms=jnp.zeros((1,), jnp.float32),
+            adjacency=jnp.zeros((1, 1), jnp.int32),
+            degrees=jnp.zeros((1,), jnp.int32),
+            valid=jnp.zeros((1,), bool),
+            vec_sum=jnp.zeros((1,), jnp.float32),
+        )
+        for name in self._SPILL_ATTRS:
+            a = getattr(self, name, None)
+            if a is not None:
+                host[name] = np.asarray(a)
+                setattr(self, name, None)
+        if getattr(self, "labels", None) is not None:
+            host["labels_bits"] = np.asarray(self.labels.bits)
+            self.labels.bits = jnp.zeros((1, 1), jnp.uint32)
+        for name in ("_auto_start", "_router_ids", "_cached_start"):
+            a = getattr(self, name, None)
+            if a is not None:
+                host[name] = np.asarray(a)
+                setattr(self, name, None)
+        import gc
+
+        gc.collect()
+        return host
+
+    def _restore_device_state(self, host: dict) -> None:
+        self.state = jax.tree.map(jnp.asarray, host["state"])
+        for name in self._SPILL_ATTRS:
+            if name in host:
+                setattr(self, name, jnp.asarray(host[name]))
+        if "labels_bits" in host:
+            self.labels.bits = jnp.asarray(host["labels_bits"])
+        for name in ("_auto_start", "_router_ids", "_cached_start"):
+            if name in host:
+                setattr(self, name, jnp.asarray(host[name]))
+
     def attach_packed(self, *, dp: int | None = 64, sigma: float = 4.0,
                       writable: bool = True, refresh_block: int = 1 << 15,
+                      spill: bool | None = None,
                       ) -> None:
         """Build the packed neighbor-code search layout: PCA-project vectors
         to ``dp`` dims, quantize to int8, and materialize each node's
@@ -720,24 +777,47 @@ class GraphIndex:
         # free any previous layout BEFORE allocating the new multi-GB table
         self.packed = None
         self._compose_cache = None
+        cap = self.state.capacity
+        rp = packed_mod.padded_degree(
+            self.config.max_degree_with_slack, int(proj.shape[1])
+        )
+        new_bytes = (cap + 1) * packed_mod.n_wrows(
+            rp, int(proj.shape[1])
+        ) * 512
+        if spill is None:
+            spill = new_bytes > (4 << 30)   # big tables need an empty arena
+        host_state = self._spill_device_state() if spill else None
         p = packed_mod.alloc_packed(
-            proj, pscale, pbias2, self.state.capacity,
+            proj, pscale, pbias2, cap,
             self.config.max_degree_with_slack, writable=writable,
         )
+        if host_state is not None:
+            # touch the table so the alloc really lands before re-uploading
+            np.asarray(p.rows[:1, :1])
+            self._restore_device_state(host_state)
+            del host_state
         codes, aux = packed_mod.encode(
             p, self.state.vectors[: self.n], self.config.metric
         )
         p = packed_mod.set_self_codes_donated(
             p, jnp.arange(self.n, dtype=jnp.int32), codes, aux
         )
-        # full nbr-table rebuild in row blocks (bounds gather memory)
-        bs = refresh_block
+        np.asarray(p.self_aux[:1])
+        del codes, aux            # free the encode temps before the refresh
+        # full nbr-table rebuild in row blocks (bounds gather memory).
+        # Sync EVERY block: dispatch is async and allocates transients at
+        # enqueue, so an unsynced loop of donated multi-GB updates holds
+        # every block's gather scratch at once and OOMs HBM (CLAUDE.md);
+        # next to a near-HBM-sized table even TWO blocks in flight is too
+        # many, so this loop trades pipelining for bounded scratch.
+        bs = refresh_block if not spill else min(refresh_block, 1 << 14)
         for off in range(0, self.state.capacity, bs):
             rows = jnp.arange(off, min(off + bs, self.state.capacity),
                               dtype=jnp.int32)
             if rows.shape[0] < bs:
                 rows = jnp.pad(rows, (0, bs - rows.shape[0]), constant_values=-1)
             p = packed_mod.refresh_rows_donated(p, self.state.adjacency, rows)
+            np.asarray(p.rows[:1, :1])    # the only real barrier on axon
         self.packed = p
 
     def _scorer_for_mode(self, mode: str):
@@ -913,6 +993,150 @@ class GraphIndex:
             labels_per_point, capacity=self.state.capacity
         )
 
+    _pred_count_cache: dict | None = None
+
+    def _predicate_count(self, predicate, accept_fn) -> int:
+        """|{live ids matching predicate}|, cached per (predicate, label
+        version, live set): ONE host sync per predicate instead of one per
+        call (the count gates the posting-list-scan escape hatch)."""
+        key = (repr(predicate), getattr(self.labels, "version", 0),
+               self.n, self.n_deleted)
+        if self._pred_count_cache is None:
+            self._pred_count_cache = {}
+        cnt = self._pred_count_cache.get(key)
+        if cnt is None:
+            cap = self.state.capacity
+            acc_all = accept_fn(
+                self.labels.bits,
+                jnp.arange(cap, dtype=jnp.int32),
+                self.state.valid,
+            ) & self.state.valid
+            cnt = int(jnp.sum(acc_all))
+            self._pred_count_cache = {key: cnt}   # keep it tiny
+        return cnt
+
+    def _composed_filtered_fn(self, accept_fn, k, l, w, mh, beta, rl, wire,
+                              use_router, n_start):
+        """ONE jitted program for the production filtered search: device
+        upcast + router top-k + packed int8 traversal with the inline beta
+        filter + full-precision rerank of the MATCHED list + output packing
+        (the packed analogue of `inline_filter_search.rs:38-75`, composed
+        exactly like `_composed_quant_fn`)."""
+        from diskann_tpu.graph.search import beam_search_scored
+
+        sdef, _, _ = self._scorer_for_mode("packed")
+        key = ("filtered", accept_fn, k, l, w, mh, beta, rl, wire,
+               use_router, n_start, self.config, sdef.name)
+        if self._compose_cache is None:
+            self._compose_cache = {}
+        fn = self._compose_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.config
+        metric = cfg.metric
+        hist = cfg.history_capacity(l)
+        expand_r = self.packed.r_pack
+
+        @jax.jit
+        def run(q_wire, sdata, adjacency, bits, vectors, sq_norms, valid,
+                router_ids, router_codes, start):
+            q = q_wire.astype(jnp.float32)
+            if use_router:
+                self_codes, self_aux, proj, pscale, pbias2 = router_codes
+                st = _router_topk_packed(
+                    self_codes, self_aux, proj, pscale, pbias2,
+                    router_ids, q, metric, n_start,
+                )
+            else:
+                st = start
+            res = beam_search_scored(
+                sdef, sdata, adjacency, st, q,
+                l_search=l, beam_width=w, max_hops=mh,
+                history_capacity=hist, dedup="list", expand_r=expand_r,
+                accept_fn=accept_fn, accept_data=bits, filter_beta=beta,
+            )
+            fd, fi = _rerank(
+                res.match_i[:, :rl], q, vectors, sq_norms, valid, metric, k
+            )
+            return _pack_outputs(fd, fi, res.cmps, res.hops)
+
+        self._compose_cache[key] = run
+        return run
+
+    def _search_filtered_packed(self, queries, accept_fn, k, l, w, mh, beta,
+                                rl, query_dtype, adaptive_l, max_l_scale):
+        """Production filtered path: sub-batched single-dispatch pipeline
+        (upload i+1 overlaps compute i), identical shape to the quant
+        search.  AdaptiveL falls back to ONE restart at a wider window when
+        a query's matched list came back short (the reference re-searches
+        too, `inline_filter_search.rs:63-75`)."""
+        b = queries.shape[0]
+        bs = min(self.search_batch_size, _round_up(b, 64))
+        router_ids = self._router_ids_live("packed")
+        use_router = router_ids is not None
+        n_start = self.config.router_starts
+        if use_router:
+            n_start = min(n_start, int(router_ids.shape[0]))
+            pk = self.packed
+            router_codes = (pk.self_codes, pk.self_aux, pk.proj,
+                            pk.pscale, pk.pbias2)
+        else:
+            router_ids = jnp.zeros((1,), jnp.int32)
+            router_codes = ()
+        start = self._start()
+        wire = np.dtype(query_dtype).name if query_dtype else None
+        _, sdata, _ = self._scorer_for_mode("packed")
+
+        def run_pass(l_cur, rl_cur):
+            fn = self._composed_filtered_fn(
+                accept_fn, k, l_cur, w, mh, beta, rl_cur, wire,
+                use_router, n_start,
+            )
+            pending = []
+            for off in range(0, b, bs):
+                qb = queries[off : off + bs]
+                m = qb.shape[0]
+                if m < bs:
+                    qb = np.pad(qb, ((0, bs - m), (0, 0)))
+                q_wire = jnp.asarray(
+                    qb.astype(query_dtype) if query_dtype is not None else qb
+                )
+                out = fn(
+                    q_wire, sdata, self.state.adjacency, self.labels.bits,
+                    self.state.vectors, self.state.sq_norms,
+                    self.state.valid, router_ids, router_codes, start,
+                )
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((off, m, out))
+            out_d = np.full((b, k), np.inf, np.float32)
+            out_i = np.full((b, k), -1, np.int32)
+            cmps = np.zeros((b,), np.int32)
+            hops = np.zeros((b,), np.int32)
+            for off, m, out in pending:
+                fd, fi, cm, hp = _unpack_outputs(np.asarray(out), k)
+                out_d[off : off + m] = fd[:m]
+                out_i[off : off + m] = fi[:m]
+                cmps[off : off + m] = cm[:m]
+                hops[off : off + m] = hp[:m]
+            return out_d, out_i, cmps, hops
+
+        out_d, out_i, cmps, hops = run_pass(l, min(rl, l))
+        found = (out_i >= 0).sum(axis=1)
+        if adaptive_l and (found < k).any() and max_l_scale > 1:
+            l1 = min(l * max_l_scale, 1024)
+            d2, i2, c2, h2 = run_pass(l1, min(max(rl, k), l1))
+            short = found < k
+            out_d[short], out_i[short] = d2[short], i2[short]
+            cmps[short] = cmps[short] + c2[short]
+            hops[short] = hops[short] + h2[short]
+        stats = SearchStats(
+            cmps=cmps, hops=hops, result_count=(out_i >= 0).sum(axis=1)
+        )
+        return out_d, out_i, stats
+
     def search_filtered(
         self,
         queries,
@@ -926,6 +1150,10 @@ class GraphIndex:
         max_l_scale: int = 8,
         method: str = "inline",
         scan_threshold: int | None = None,
+        mode: str = "full",
+        rerank_l: int | None = None,
+        max_hops: int | None = None,
+        query_dtype=None,
     ):
         """Label-filtered k-NN.
 
@@ -938,7 +1166,11 @@ class GraphIndex:
         through rejected nodes (`multihop_filter_search.rs`).
         scan_threshold: max match-set size for the exact posting-list scan
         (default max(4*l_search, 512) for inline, always for prefilter);
-        0 forces graph navigation."""
+        0 forces graph navigation.
+        mode="packed": the PRODUCTION path — packed int8 traversal with the
+        inline filter, router entry points, full-precision rerank of the
+        matched list, all composed into one dispatch per sub-batch (the
+        filtered analogue of `search(mode="packed")`)."""
         from diskann_tpu.filters import compile_accept, parse_predicate
         from diskann_tpu.graph.scorers import full_precision_scorer
         from diskann_tpu.graph.search import (
@@ -967,18 +1199,18 @@ class GraphIndex:
         if method in ("inline", "prefilter") and not getattr(
             self, "_hbm_vectors_dropped", False
         ):
+            cnt = self._predicate_count(predicate, accept_fn)
             cap = self.state.capacity
-            acc_all = accept_fn(
-                self.labels.bits,
-                jnp.arange(cap, dtype=jnp.int32),
-                self.state.valid,
-            ) & self.state.valid
-            cnt = int(jnp.sum(acc_all))
             if scan_threshold is not None:
                 threshold = scan_threshold
             else:
                 threshold = max(4 * l0, 512) if method == "inline" else cap
             if cnt <= threshold:
+                acc_all = accept_fn(
+                    self.labels.bits,
+                    jnp.arange(cap, dtype=jnp.int32),
+                    self.state.valid,
+                ) & self.state.valid
                 members = np.nonzero(np.asarray(acc_all))[0]
                 pad = max(1 << int(np.ceil(np.log2(max(len(members), 1)))),
                           64)
@@ -997,6 +1229,15 @@ class GraphIndex:
                     result_count=(fi >= 0).sum(axis=1),
                 )
                 return fd, fi, stats
+
+        if mode == "packed":
+            if self.packed is None:
+                raise ValueError("attach_packed first for mode='packed'")
+            return self._search_filtered_packed(
+                queries, accept_fn, k, l0, w,
+                max_hops or self.config.max_hops, beta,
+                rerank_l or l0, query_dtype, adaptive_l, max_l_scale,
+            )
 
         sdef, sdata = full_precision_scorer(
             self.state.vectors, self.state.sq_norms, self.config.metric

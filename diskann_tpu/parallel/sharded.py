@@ -178,19 +178,35 @@ def _sharded_search_filtered(
 def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
                     row_ext, config):
     """batch: [n_shards, M, d] — rows routed to shards by the caller;
-    row_ext: [n_shards, M] external ids for the new rows."""
+    row_ext: [n_shards, M] external ids for the new rows.
+
+    Freed slots below each shard's high-water mark are RECYCLED first
+    (the reference's freelist, `diskann-inmem/src/freelist.rs`), found on
+    device: free positions compact to the front with one sort, fresh rows
+    spill past the high-water mark."""
 
     def local(st, ext, n, start, vecs, valid, rext):
         st = jax.tree.map(lambda a: a[0], st)
         ext, n, start = ext[0], n[0], start[0]
-        slots = n + jnp.arange(vecs.shape[1], dtype=jnp.int32)
+        cap = st.capacity
+        m = vecs.shape[1]
+        valid0 = valid[0]
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        free = (~st.valid) & (iota < n)                 # freed, below HWM
+        fpos = jax.lax.sort(jnp.where(free, iota, cap))  # ascending frees
+        nfree = free.astype(jnp.int32).sum()
+        mv = valid0.astype(jnp.int32).sum()             # valid rows (prefix)
+        take = jnp.minimum(nfree, mv)
+        j = jnp.arange(m, dtype=jnp.int32)
+        slots = jnp.where(j < take, fpos[:m], n + j - take)
+        slots = jnp.where(valid0, slots, -1)
         st, _packed, stats = insert_batch(
-            st, slots, vecs[0], valid[0], start, config,
+            st, slots, vecs[0], valid0, start, config,
         )
-        ext = ext.at[jnp.where(valid[0], slots, ext.shape[0])].set(
+        ext = ext.at[jnp.where(valid0, slots, cap)].set(
             rext[0], mode="drop"
         )
-        new_n = n + valid[0].astype(jnp.int32).sum()
+        new_n = n + (mv - take)
         new_start = graph_state.medoid(st, new_n)[None]
         st = jax.tree.map(lambda a: a[None], st)
         return st, ext[None], new_n[None], new_start[None], stats.cmps[None]
@@ -207,17 +223,42 @@ def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "n_chunks"))
-def _sharded_delete(mesh, stacked, dead, config, n_chunks: int = 4):
-    """Shard-local IP-DiskANN delete: mark + repair every referencing row +
-    drop.  dead: [n_shards, D] local slot ids (-1 pad)."""
+def _sharded_delete(mesh, stacked, ext, dead_ext, config, n_chunks: int = 4):
+    """Shard-local IP-DiskANN delete BY EXTERNAL ID: each shard finds its
+    own copies on device (membership test against its `ext` column — no
+    host-side id map), marks them, repairs every referencing row, drops
+    them, and clears the ext slots.  dead_ext: [E] external ids (-1 pad),
+    replicated.  Returns (stacked, ext, per-shard deleted counts)."""
     from diskann_tpu.graph.delete import (
-        drop_deleted_rows, mark_deleted, patch_rows, rows_referencing_deleted,
+        drop_deleted_rows, patch_rows, rows_referencing_deleted,
     )
 
-    def local(st, dead):
+    def local(st, ext, dead_ext):
         st = jax.tree.map(lambda a: a[0], st)
-        st = mark_deleted(st, dead[0])
+        ext = ext[0]
         cap = st.capacity
+        e = dead_ext.shape[0]
+        ch = min(512, e)
+        # chunked membership scan bounds the [cap, ch] compare tensor
+        def mstep(i, hit):
+            seg = jax.lax.dynamic_slice(dead_ext, (i * ch,), (ch,))
+            return hit | (
+                (ext[:, None] == seg[None, :]) & (seg >= 0)[None, :]
+            ).any(axis=1)
+
+        hit = jax.lax.fori_loop(
+            0, -(-e // ch), mstep, jnp.zeros((cap,), bool)
+        )
+        hit = hit & st.valid
+        dcount = hit.astype(jnp.int32).sum()
+        # mark: clear liveness + medoid running sum (mark_deleted semantics)
+        removed = jnp.where(
+            hit[:, None], st.vectors.astype(jnp.float32), 0.0
+        ).sum(axis=0)
+        st = st._replace(
+            valid=st.valid & ~hit, vec_sum=st.vec_sum - removed
+        )
+        ext = jnp.where(hit, -1, ext)
         aff = rows_referencing_deleted(st)
         rows = jnp.where(aff, jnp.arange(cap, dtype=jnp.int32), -1)
         chunk = -(-cap // n_chunks)
@@ -230,16 +271,18 @@ def _sharded_delete(mesh, stacked, dead, config, n_chunks: int = 4):
 
         st = jax.lax.fori_loop(0, n_chunks, step, st)
         st = drop_deleted_rows(st)
-        return jax.tree.map(lambda a: a[None], st)
+        return (
+            jax.tree.map(lambda a: a[None], st), ext[None], dcount[None]
+        )
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_state, P("shard")),
-        out_specs=spec_state,
+        in_specs=(spec_state, P("shard"), P()),
+        out_specs=(spec_state, P("shard"), P("shard")),
         check_vma=False,
-    )(stacked, dead)
+    )(stacked, ext, dead_ext)
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "dp"))
@@ -387,9 +430,13 @@ class ShardedGraphIndex:
             self._shard_sharding,
         )
         self.next_ext = 0
-        # external id -> [(shard, slot), ...] (its copies under overlap)
-        self._loc: dict[int, list[tuple[int, int]]] = {}
+        # NOTE: there is deliberately no host-side external-id -> slot map:
+        # lookups that need one (delete) run on device against the per-shard
+        # `ext` columns, so host memory stays O(batch) at any index size
         self.n_deleted = 0
+        # freed slots per shard, tracked as a device-side count only (the
+        # freelist itself is derived on device from ~valid below ns)
+        self._free_total = 0
 
     # ------------------------------------------------------------------ grow
     def grow(self, new_cap_per_shard: int) -> None:
@@ -445,16 +492,24 @@ class ShardedGraphIndex:
             assignments = assignments[:, None]
         ext_ids = np.arange(self.next_ext, self.next_ext + m, dtype=np.int64)
 
-        per_rows: list[list[int]] = [[] for _ in range(self.n_shards)]
-        for j in range(m):
-            for s in np.unique(assignments[j]):
-                if s >= 0:
-                    per_rows[int(s)].append(j)
+        # vectorized routing: dedup shard ids within each row, then group
+        # (shard, row) pairs by shard with one stable argsort — O(m·overlap)
+        # host work, no per-row Python loop
+        a = np.sort(assignments, axis=1)
+        keep = a >= 0
+        keep[:, 1:] &= a[:, 1:] != a[:, :-1]
+        pair_s = a[keep].astype(np.int64)                 # [P]
+        pair_j = np.broadcast_to(
+            np.arange(m)[:, None], a.shape
+        )[keep]                                           # [P]
+        order = np.argsort(pair_s, kind="stable")
+        pair_s, pair_j = pair_s[order], pair_j[order]
+        counts = np.bincount(pair_s, minlength=self.n_shards)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        col = np.arange(len(pair_s)) - offsets[pair_s]    # slot within shard
+
         ns_now = np.asarray(self.ns)
-        need = max(
-            (ns_now[s] + len(rows) for s, rows in enumerate(per_rows)),
-            default=0,
-        )
+        need = int((ns_now + counts).max()) if len(pair_s) else 0
         if need > self.cap_per_shard:
             if on_overflow == "error":
                 raise ValueError(
@@ -463,20 +518,15 @@ class ShardedGraphIndex:
             new_cap = max(int(need), self.cap_per_shard * 2)
             self.grow(new_cap)
 
-        width = max((len(p) for p in per_rows), default=0)
+        width = int(counts.max()) if len(pair_s) else 0
         if width == 0:
             return ext_ids
         batch = np.zeros((self.n_shards, width, self.dim), np.float32)
         valid = np.zeros((self.n_shards, width), bool)
         rext = np.full((self.n_shards, width), -1, np.int32)
-        for s, rows in enumerate(per_rows):
-            batch[s, : len(rows)] = vectors[rows]
-            valid[s, : len(rows)] = True
-            rext[s, : len(rows)] = ext_ids[rows]
-            for j, row in enumerate(rows):
-                self._loc.setdefault(int(ext_ids[row]), []).append(
-                    (s, int(ns_now[s]) + j)
-                )
+        batch[pair_s, col] = vectors[pair_j]
+        valid[pair_s, col] = True
+        rext[pair_s, col] = ext_ids[pair_j]
         self.stacked, self.ext, self.ns, self.starts, _ = _sharded_insert(
             self.mesh, self.stacked, self.ext, self.ns, self.starts,
             jnp.asarray(batch), jnp.asarray(valid), jnp.asarray(rext),
@@ -488,22 +538,20 @@ class ShardedGraphIndex:
 
     # ---------------------------------------------------------------- delete
     def delete(self, ext_ids) -> None:
-        """Delete by external id — every shard copy is removed and each
-        shard repairs its referencing rows locally (IP-DiskANN per shard)."""
-        ext_ids = np.asarray(ext_ids).ravel()
-        per: list[list[int]] = [[] for _ in range(self.n_shards)]
-        for e in ext_ids:
-            for s, slot in self._loc.pop(int(e), []):
-                per[s].append(slot)
-        width = max((len(p) for p in per), default=0)
-        if width == 0:
+        """Delete by external id — every shard finds and removes its copies
+        ON DEVICE (membership scan of its `ext` column; no host id map) and
+        repairs its referencing rows locally (IP-DiskANN per shard).
+        Freed slots are recycled by later inserts (per-shard freelist)."""
+        ext_ids = np.unique(np.asarray(ext_ids).ravel().astype(np.int32))
+        if len(ext_ids) == 0:
             return
-        dead = np.full((self.n_shards, width), -1, np.int32)
-        for s, slots in enumerate(per):
-            dead[s, : len(slots)] = slots
-        self.stacked = _sharded_delete(
-            self.mesh, self.stacked, jnp.asarray(dead), self.config
+        pad = (-len(ext_ids)) % 512
+        dead_ext = np.pad(ext_ids, (0, pad), constant_values=-1)
+        self.stacked, self.ext, dcount = _sharded_delete(
+            self.mesh, self.stacked, self.ext, jnp.asarray(dead_ext),
+            self.config,
         )
+        self._free_total += int(np.asarray(dcount).sum())
         self.n_deleted += len(ext_ids)
         if self.packed is not None:
             self.attach_packed(dp=int(self.packed.dp))
@@ -651,7 +699,7 @@ class ShardedGraphIndex:
                 "cap_per_shard": self.cap_per_shard,
                 "next_ext": self.next_ext,
                 "n_deleted": self.n_deleted,
-                "loc": {str(k): v for k, v in self._loc.items()},
+                "free_total": self._free_total,
                 "config": {
                     "max_degree": cfg.max_degree,
                     "l_build": cfg.l_build,
@@ -717,9 +765,7 @@ class ShardedGraphIndex:
         idx.starts = jax.device_put(jnp.asarray(arrays["starts"]), sh)
         idx.next_ext = meta["next_ext"]
         idx.n_deleted = meta.get("n_deleted", 0)
-        idx._loc = {
-            int(k): [tuple(x) for x in v] for k, v in meta["loc"].items()
-        }
+        idx._free_total = meta.get("free_total", 0)
         return idx
 
 

@@ -145,6 +145,22 @@ class TieredIndex:
         graph._hbm_vectors_dropped = True
         return cls(graph, store)
 
+    def _traversal_scorer(self, mode: str | None):
+        """(sdef, sdata, expand_r, dedup) for the HBM traversal tier.
+        mode=None picks packed when attached, else pq/sq — the packed fat
+        rows are fastest but cap at a few million points/chip; PQ codes are
+        the 100M-class representation (`disk_provider.rs:634` PQ-in-RAM)."""
+        g = self.graph
+        if mode is None or mode == "full":
+            # "full" is meaningless here — the full-precision tier lives
+            # host-side; auto-pick the HBM traversal representation
+            mode = "packed" if g.packed is not None else (
+                "pq" if getattr(g, "pq", None) is not None else "sq"
+            )
+        sdef, sdata, expand_r = g._scorer_for_mode(mode)
+        dedup = "merge" if mode == "packed" else "list"
+        return sdef, sdata, expand_r, dedup
+
     def search(
         self,
         queries,
@@ -153,9 +169,9 @@ class TieredIndex:
         l_search: int | None = None,
         beam_width: int = 4,
         rerank_l: int | None = None,
+        mode: str | None = None,
     ):
         """Quantized traversal + host-staged full-precision rerank."""
-        from diskann_tpu.graph.scorers import packed_scorer
         from diskann_tpu.graph.search import beam_search_scored
 
         g = self.graph
@@ -163,11 +179,12 @@ class TieredIndex:
         if queries.ndim == 1:
             queries = queries[None]
         l = l_search or max(k, g.config.l_build)
-        sdef, sdata = packed_scorer(g.packed, g.config.metric)
+        sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
         res = beam_search_scored(
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
             l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-            dedup="merge", expand_r=g.packed.r_pack,
+            history_capacity=g.config.history_capacity(l),
+            dedup=dedup, expand_r=expand_r,
         )
         ids = np.asarray(res.ids)
         # ---- stage full rows from host RAM (IO budget applied) ----
@@ -254,12 +271,13 @@ class TieredIndex:
         l_search: int | None = None,
         beam_width: int = 4,
         rerank_l: int | None = None,
+        mode: str | None = None,
+        max_hops: int | None = None,
     ):
         """Software-pipelined tiered search: batch i's host staging (async
         native gather threads) and rerank overlap batch i+1's device
         traversal — the TPU analogue of the disk tier's async sector reads
         overlapping PQ compute (`disk_provider.rs:683-722`)."""
-        from diskann_tpu.graph.scorers import packed_scorer
         from diskann_tpu.graph.search import beam_search_scored
 
         g = self.graph
@@ -269,13 +287,15 @@ class TieredIndex:
         b = queries.shape[0]
         l = l_search or max(k, g.config.l_build)
         budget = min(self.io_limit or l, rerank_l or l, l)
-        sdef, sdata = packed_scorer(g.packed, g.config.metric)
+        sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
+        mh = max_hops or g.config.max_hops
 
         def traverse(qb):
             return beam_search_scored(
                 sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(qb),
-                l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-                dedup="merge", expand_r=g.packed.r_pack,
+                l_search=l, beam_width=beam_width, max_hops=mh,
+                history_capacity=g.config.history_capacity(l),
+                dedup=dedup, expand_r=expand_r,
             )
 
         out_d = np.full((b, k), np.inf, np.float32)

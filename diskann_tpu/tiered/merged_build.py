@@ -112,6 +112,8 @@ def build_merged(
     train_points: int = 1 << 16,
     seed: int = 0,
     verbose: bool = False,
+    codes: str = "packed",
+    pq_chunks: int = 32,
     **build_kw,
 ) -> TieredIndex:
     """Build a `TieredIndex` for a dataset whose build does not fit HBM.
@@ -121,6 +123,12 @@ def build_merged(
     comes from `hbm_budget_bytes` (default: 60% of the device's memory).
     If everything fits in one shard, delegates to
     `TieredIndex.build_from_host`.
+
+    codes: the HBM-resident traversal representation of the merged index.
+    "packed" (fat rows, ~nwr*512 B/point) is the fastest search but caps at
+    a few million points per chip; "pq" keeps [N, pq_chunks] uint8 ADC codes
+    (+ adjacency) — the reference disk tier's PQ-in-RAM shape
+    (`disk_provider.rs:634-654`) that scales to 100M-class datasets.
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -162,6 +170,14 @@ def build_merged(
     merged = np.full((n, r_slack), -1, np.int32)
     merged_d = np.full((n, r_slack), np.inf, np.float32)
     seen = np.zeros((n,), bool)
+    # uniform per-shard capacity: every shard's arrays share ONE shape so
+    # the remote-compiled build/search kernels are reused across all shards
+    # (per-shard shapes would recompile the whole pipeline every shard)
+    shard_sizes = [
+        int(((assign == s).any(axis=1)).sum()) for s in range(n_shards)
+    ]
+    shard_cap = -(-max(shard_sizes + [insert_batch_size])
+                  // insert_batch_size) * insert_batch_size
     for s in range(n_shards):
         rows = np.nonzero((assign == s).any(axis=1))[0].astype(np.int64)
         if rows.size == 0:
@@ -169,15 +185,16 @@ def build_merged(
         sub = vectors[rows]
         idx = GraphIndex.build(
             sub, config, insert_batch_size=min(insert_batch_size, len(rows)),
-            build_mode="packed", packed_dp=dp, **build_kw,
+            build_mode="packed", packed_dp=dp, capacity=shard_cap,
+            **build_kw,
         )
         ns = len(rows)
         lengths = np.asarray(
             _edge_lengths(
-                idx.state.vectors[:ns], idx.state.sq_norms[:ns],
-                idx.state.adjacency[:ns],
+                idx.state.vectors, idx.state.sq_norms,
+                idx.state.adjacency,
             )
-        )
+        )[:ns]
         adj_local = np.asarray(idx.state.adjacency[:ns])
         del idx  # free the shard's device buffers before the next build
         adj_global = np.where(adj_local >= 0, rows[np.clip(adj_local, 0, ns - 1)],
@@ -236,21 +253,47 @@ def build_merged(
     )
     graph._hbm_vectors_dropped = True
 
-    # ---- packed codes for the merged graph, chunk-encoded from host ----
-    proj, pscale, pbias2 = packed_mod.train_packed(sample, min(dp, dim),
-                                                   config.metric)
-    packed = packed_mod.alloc_packed(proj, pscale, pbias2, cap, r_slack)
-    chunk = 1 << 17
-    for lo in range(0, n, chunk):
-        xc = jnp.asarray(vectors[lo:lo + chunk])
-        codes, aux = packed_mod.encode(packed, xc, config.metric)
-        ids = jnp.arange(lo, lo + xc.shape[0], dtype=jnp.int32)
-        packed = packed_mod.set_self_codes_donated(packed, ids, codes, aux)
-    for lo in range(0, n, chunk):
-        ids = jnp.arange(lo, min(lo + chunk, n), dtype=jnp.int32)
-        packed = packed_mod.refresh_rows_donated(packed, graph.state.adjacency,
-                                                 ids)
-    graph.packed = packed
+    if codes == "pq":
+        # ---- PQ ADC codes: the 100M-class traversal representation ----
+        from diskann_tpu.quant.pq import train_pq
+
+        pq = train_pq(
+            jax.random.key(seed), sample, n_chunks=pq_chunks,
+            max_train_points=train_points,
+        )
+        graph.pq = pq
+        code_rows = np.zeros((cap, pq.n_chunks), np.uint8)
+        chunk = 1 << 18
+        for lo in range(0, n, chunk):
+            code_rows[lo:lo + chunk] = np.asarray(
+                pq.encode(vectors[lo:lo + chunk])
+            )
+        graph.pq_codes = jnp.asarray(code_rows)
+    else:
+        # ---- packed fat-row codes, chunk-encoded from host ----
+        proj, pscale, pbias2 = packed_mod.train_packed(sample, min(dp, dim),
+                                                       config.metric)
+        packed = packed_mod.alloc_packed(proj, pscale, pbias2, cap, r_slack)
+        chunk = 1 << 17
+        prev_sync = None  # one-behind barrier: unsynced donated-update
+        # loops enqueue every chunk's transients at once and OOM (CLAUDE.md)
+        for lo in range(0, n, chunk):
+            xc = jnp.asarray(vectors[lo:lo + chunk])
+            cds, aux = packed_mod.encode(packed, xc, config.metric)
+            ids = jnp.arange(lo, lo + xc.shape[0], dtype=jnp.int32)
+            packed = packed_mod.set_self_codes_donated(packed, ids, cds, aux)
+            if prev_sync is not None:
+                np.asarray(prev_sync)
+            prev_sync = packed.self_aux[:1]
+        for lo in range(0, n, chunk):
+            ids = jnp.arange(lo, min(lo + chunk, n), dtype=jnp.int32)
+            packed = packed_mod.refresh_rows_donated(
+                packed, graph.state.adjacency, ids
+            )
+            if prev_sync is not None:
+                np.asarray(prev_sync)
+            prev_sync = packed.rows[:1, :1]
+        graph.packed = packed
 
     # ---- entry point: medoid approximated host-side (vectors not in HBM) --
     mu = vectors.mean(axis=0)

@@ -1,0 +1,121 @@
+"""Streaming churn at 1M on the chip: 10 cycles of 5% delete + 5% insert
+(50% total churn) with a recall checkpoint per cycle — the Fresh/IP-DiskANN
+streaming workload (`diskann-benchmark-core/src/streaming/graph/
+inplace_delete.rs`, BigANN runbook shape `executors/bigann/runbook.rs`).
+
+Writes /root/repo/BENCH_STREAM1M_r03.json: recall trajectory, inserts/s,
+deletes/s, per-cycle wall times.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
+       scripts/bench_stream1m.py > /tmp/stream1m.log 2>&1 &
+Env: STREAM_N (1_000_000), STREAM_CYCLES (10), STREAM_FRAC (0.05),
+     STREAM_DELETE_METHOD (scan | two_hop_one_hop).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/diskann_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+LOG = lambda *a: print("[stream]", *a, file=sys.stderr, flush=True)
+
+N = int(os.environ.get("STREAM_N", 1_000_000))
+CYCLES = int(os.environ.get("STREAM_CYCLES", 10))
+FRAC = float(os.environ.get("STREAM_FRAC", 0.05))
+METHOD = os.environ.get("STREAM_DELETE_METHOD", "scan")
+D, NQ, K = 128, 2048, 10
+OUT = "/root/repo/BENCH_STREAM1M_r03.json"
+
+
+def main():
+    from diskann_tpu import GraphConfig, GraphIndex
+    from diskann_tpu.bench.harness import make_clustered
+    from diskann_tpu.bench.runbook import RunbookExecutor
+
+    step = int(N * FRAC)
+    total = N + CYCLES * step
+    LOG(f"generating {total} x {D} on device (churn pool)")
+    x_dev, q_dev = make_clustered(11, total, NQ, D, n_clusters=4096,
+                                  sigma=0.35, device=True)
+    q = np.asarray(q_dev)
+    del q_dev
+
+    cfg = GraphConfig(max_degree=64, l_build=100, alpha=1.2, beam_width=4,
+                      build_max_hops=12, max_occlusion_size=256)
+    LOG(f"building initial index over {N} points (packed)")
+    t0 = time.time()
+    idx = GraphIndex.build(
+        x_dev[:N], cfg, insert_batch_size=8192, search_batch_size=2048,
+        build_mode="packed", packed_dp=64,
+        capacity=total,  # churn never reallocates: slots recycle + headroom
+    )
+    build_s = time.time() - t0
+    LOG(f"build {build_s:.0f}s ({N/build_s:.0f} pts/s)")
+
+    # host copy for the executor (checkpoint groundtruth + churn inserts)
+    LOG("downloading dataset to host for the executor")
+    x = np.asarray(x_dev)
+    del x_dev
+
+    ex = RunbookExecutor(
+        idx, x, q, k=K, l_search=90, delete_method=METHOD,
+        search_kwargs={"mode": "packed", "query_dtype": np.float16,
+                       "max_hops": 9},
+    )
+    # adopt the pre-built points as tags 0..N
+    for t in range(N):
+        ex.tag_to_id[t] = t
+        ex.tag_to_row[t] = t
+
+    steps = []
+    for c in range(CYCLES):
+        lo = c * step
+        steps.append({"operation": "delete", "start": lo, "end": lo + step})
+        steps.append({"operation": "insert", "start": N + lo,
+                      "end": N + lo + step})
+        steps.append({"operation": "search"})
+
+    LOG(f"running {CYCLES} churn cycles of {step} del + {step} ins "
+        f"(method={METHOD})")
+    log = ex.run(steps)
+
+    recalls = [e["recall"] for e in log if e["operation"] == "search"]
+    ins = [e for e in log if e["operation"] == "insert"]
+    dels = [e for e in log if e["operation"] == "delete"]
+    ins_rate = sum(e["count"] for e in ins) / sum(e["wall_s"] for e in ins)
+    del_rate = sum(e["count"] for e in dels) / sum(e["wall_s"] for e in dels)
+    out = {
+        "metric": "stream1m_recall_after_50pct_churn",
+        "value": recalls[-1] if recalls else 0.0,
+        "unit": "recall@10",
+        "extra": {
+            "n": N, "cycles": CYCLES, "churn_frac": FRAC,
+            "delete_method": METHOD,
+            "build_s": round(build_s, 1),
+            "inserts_per_s": round(ins_rate),
+            "deletes_per_s": round(del_rate),
+            "recall_trajectory": [round(r, 4) for r in recalls],
+            "recall_min": round(min(recalls), 4) if recalls else 0,
+            "steps": log,
+        },
+    }
+    with open(OUT, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

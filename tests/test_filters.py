@@ -267,3 +267,51 @@ def test_filtered_search_selective_predicate_adaptive_l(rng):
     # returned ids really match the predicate
     ok = fi[fi >= 0]
     assert rare[ok].all()
+
+
+def test_filtered_search_packed_production_path(rng):
+    """mode='packed': router + packed int8 traversal + inline filter +
+    full-precision rerank of the matched list, one composed dispatch per
+    sub-batch — results must honor the predicate and match the filtered
+    exact scan (the production filtered path; inline_filter_search.rs
+    composed like the quant search)."""
+    n, d = 1500, 16
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 20, size=24)] + 0.15 * rng.standard_normal(
+        (24, d)
+    ).astype(np.float32)
+    idx = GraphIndex.build(
+        x, GraphConfig(max_degree=16, l_build=32), insert_batch_size=512,
+        build_mode="packed", packed_dp=16,
+    )
+    red = rng.random(n) < 0.4
+    idx.attach_labels([["red"] if r else ["blue"] for r in red])
+
+    fd, fi, stats = idx.search_filtered(
+        q, "red", k=10, l_search=48, mode="packed", scan_threshold=0,
+    )
+    got = fi[fi >= 0]
+    assert got.size > 0 and red[got].all()
+    red_ids = np.nonzero(red)[0]
+    gt_d = ((q[:, None, :] - x[None, red, :]) ** 2).sum(-1)
+    gt = red_ids[np.argsort(gt_d, axis=1)[:, :10]]
+    r = knn_recall(fi, gt, 10)
+    assert r >= 0.85, r
+    # rerank distances are FULL precision (match exact recompute)
+    exact = ((q[:, None, :] - x[np.clip(fi, 0, n - 1)]) ** 2).sum(-1)
+    ok = fi >= 0
+    np.testing.assert_allclose(fd[ok], exact[ok], rtol=1e-3, atol=1e-3)
+    # adaptive fallback triggers for a rare predicate and still honors it
+    rare = rng.random(n) < 0.01
+    lab = [
+        (["red"] if r else ["blue"]) + (["rare"] if s else [])
+        for r, s in zip(red, rare)
+    ]
+    idx.attach_labels(lab)
+    fd2, fi2, _ = idx.search_filtered(
+        q, "rare", k=5, l_search=32, mode="packed", scan_threshold=0,
+    )
+    got2 = fi2[fi2 >= 0]
+    assert got2.size > 0 and rare[got2].all()

@@ -188,8 +188,11 @@ def test_sharded_overlap2_dedup(rng, mesh):
     idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=1024)
     ext = idx.insert(x, assign)
     np.testing.assert_array_equal(ext, np.arange(n))
-    # each external id is stored in exactly 2 shards
-    assert all(len(v) == 2 for v in idx._loc.values())
+    # each external id is stored in exactly 2 shards (count device-side —
+    # there is no host id map by design)
+    ext_cols = np.asarray(idx.ext)
+    copies = np.bincount(ext_cols[ext_cols >= 0], minlength=n)
+    assert (copies == 2).all()
     q = centers[rng.integers(0, 16, size=40)] + 0.1 * rng.standard_normal(
         (40, d)
     ).astype(np.float32)
@@ -277,3 +280,29 @@ def test_sharded_range_search(rng, mesh):
         assert len(have) == len(set(have))  # dedup across overlap copies
         assert set(have) <= want, set(have) - want
         assert len(have) >= 0.85 * len(want), (len(have), len(want))
+
+
+def test_sharded_freelist_recycles_slots(rng, mesh):
+    """Deleted slots are reused by later inserts: the per-shard high-water
+    mark must not grow when free slots cover the new batch (reference
+    freelist semantics, `diskann-inmem/src/freelist.rs`)."""
+    d = 8
+    cfg = GraphConfig(max_degree=8, l_build=16)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=128)
+    x = rng.standard_normal((256, d)).astype(np.float32)
+    ext = idx.insert(x)
+    ns_before = np.asarray(idx.ns).copy()
+    # delete one full round-robin stripe (one slot per shard x 8)
+    idx.delete(ext[:64])
+    assert idx._free_total == 64
+    y = rng.standard_normal((64, d)).astype(np.float32)
+    ext2 = idx.insert(y)
+    ns_after = np.asarray(idx.ns)
+    np.testing.assert_array_equal(ns_before, ns_after)  # recycled, no growth
+    # deleted ids gone, new ids findable
+    dists, gids, _ = idx.search(y[:16], k=1, l_search=24)
+    hit = (gids[:, 0] >= 0)
+    assert hit.all()
+    assert not np.isin(gids[:, 0], ext[:64]).any()
+    found = np.isin(ext2, gids[:, 0]).sum()
+    assert found >= 12  # most nearest-neighbors are the new rows themselves

@@ -286,3 +286,34 @@ def test_tiered_range_search(rng):
         # graph recall within the radius; no false positives ever
         assert have <= want, have - want
         assert len(have) >= 0.85 * len(want), (len(have), len(want))
+
+
+def test_merged_build_pq_codes(rng):
+    """codes='pq': the 100M-class HBM tier — PQ ADC codes + adjacency only
+    (no fat-row table), traversal mode='pq' with host-staged exact rerank
+    (`disk_provider.rs:634-654` PQ-in-RAM + rerank shape)."""
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 4000, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=50)] + 0.25 * rng.standard_normal(
+        (50, d)
+    ).astype(np.float32)
+
+    t = build_merged(
+        x, GraphConfig(max_degree=16, l_build=32), n_shards=3,
+        insert_batch_size=512, seed=3, codes="pq", pq_chunks=8,
+    )
+    g = t.graph
+    assert g.packed is None                 # no fat-row table at this scale
+    assert g.pq_codes.shape == (g.state.capacity, 8)
+    assert g.state.vectors.shape[0] == 1    # vectors host-side only
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, ids, _ = t.search(q, k=10, l_search=48, mode="pq")
+    assert knn_recall(ids, gt_i, 10) >= 0.85
+    # pipelined batched path agrees
+    _, ids2, _ = t.search_batched(q, k=10, l_search=48, batch_size=32,
+                                  mode="pq")
+    assert knn_recall(ids2, gt_i, 10) >= 0.85
