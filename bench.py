@@ -236,9 +236,12 @@ def main():
             LOG(f"[bench] index saved to {idx_cache} "
                 f"({time.time()-t0:.1f}s)")
 
-    # optional read-only full-dim packed re-attach: dp=128 codes make the
-    # traversal ordering near-exact so a small rerank budget holds recall
-    attach_dp = int(os.environ.get("BENCH_ATTACH_DP", 0))
+    # Read-only full-dim packed re-attach (round-3 headline default):
+    # dp=128 int8 codes make the traversal ordering near-exact — recall
+    # 0.9987 at L=40 vs 0.9536 at L=90 with dp=64 on the same graph
+    # (/tmp/r3_sweep3d.log) — so the whole operating point shifts to tiny
+    # L, a tiny rerank budget, and a 6-hop cap.  BENCH_ATTACH_DP=0 reverts.
+    attach_dp = int(os.environ.get("BENCH_ATTACH_DP", 128))
     if attach_dp:
         LOG(f"[bench] re-attaching packed layout at dp={attach_dp}")
         t0 = time.time()
@@ -247,7 +250,8 @@ def main():
         LOG(f"[bench] re-attach in {time.time()-t0:.1f}s")
 
     qn = np.asarray(q)
-    rerank_l = int(os.environ.get("BENCH_RERANK", 0)) or None
+    rerank_l = int(os.environ.get("BENCH_RERANK", 12 if attach_dp else 0)) \
+        or None
     # f16 wire format for query upload: halves upload bytes, recall delta
     # measured -0.0006 on the 1M bench (BENCH_QDT=float32 to disable)
     qdt = os.environ.get("BENCH_QDT", "float16")
@@ -258,16 +262,18 @@ def main():
     # /tmp/r2_qps6.log; mh=9 beat mh=10 by ~10% QPS at identical recall in
     # two same-process sweeps, /tmp/r2c_qps1.json /tmp/r2d_qps1.json).
     # Each capped hop saves expansion DMA + sorts + the ~0.5ms iteration
-    # floor.  BENCH_MAXHOPS=-1 disables.
-    max_hops = int(os.environ.get("BENCH_MAXHOPS", 9))
+    # floor.  With dp=128 codes (near-exact walk) recall saturates by ~6
+    # hops even at L=24 (0.9926, /tmp/r3_sweep4.log); the dp=64 layout
+    # needs ~9.  BENCH_MAXHOPS=-1 disables.
+    max_hops = int(os.environ.get("BENCH_MAXHOPS", 6 if attach_dp else 9))
     max_hops = None if max_hops <= 0 else max_hops
     # BENCH_RS: per-query router entry points (0 = config default 4).  More
     # starts seed a better initial list so the walk needs fewer hops.
     rstarts = int(os.environ.get("BENCH_RS", 0)) or None
-    fused = os.environ.get("BENCH_FUSED", "0") == "1"
     l_sweep = tuple(
         int(v) for v in os.environ.get(
-            "BENCH_LS", "90,100,120,140,160,200"
+            "BENCH_LS",
+            "20,24,30,40,60" if attach_dp else "90,100,120,140,160,200",
         ).split(",")
     )
     best = None
@@ -276,13 +282,13 @@ def main():
         try:
             with _Watchdog(1500, f"search sweep point L={l}"):
                 idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
-                           rerank_l=rerank_l, fused=fused,
+                           rerank_l=rerank_l,
                            query_dtype=query_dtype, router_starts=rstarts,
                            max_hops=max_hops)  # compile at full batch shape
                 t0 = time.time()
                 _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
                                            beam_width=sw, rerank_l=rerank_l,
-                                           max_hops=max_hops, fused=fused,
+                                           max_hops=max_hops,
                                            query_dtype=query_dtype,
                                            router_starts=rstarts)
                 dt = time.time() - t0
@@ -316,18 +322,21 @@ def main():
     if filt_preds:
         idx.attach_labels([[f"cat{c}"] for c in cats])
         lf = int(os.environ.get("BENCH_FILTERED_L", 90))
+        # filtered walks pass through non-matching regions, so they need a
+        # higher hop budget than the plain search's saturation cap
+        fmh = int(os.environ.get("BENCH_FILTERED_MH", 16))
         for p in filt_preds:
             try:
                 with _Watchdog(1500, f"filtered sweep {p}"):
                     idx.search_filtered(
                         qn, p, k, l_search=lf, mode="packed",
-                        query_dtype=query_dtype, max_hops=max_hops,
+                        query_dtype=query_dtype, max_hops=fmh,
                         scan_threshold=0,
                     )  # compile
                     t0 = time.time()
                     _, fids, _ = idx.search_filtered(
                         qn, p, k, l_search=lf, mode="packed",
-                        query_dtype=query_dtype, max_hops=max_hops,
+                        query_dtype=query_dtype, max_hops=fmh,
                         scan_threshold=0,
                     )
                     fdt = time.time() - t0

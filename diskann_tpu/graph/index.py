@@ -480,7 +480,6 @@ class GraphIndex:
         mode: str = "full",
         rerank_l: int | None = None,
         max_hops: int | None = None,
-        fused: bool = False,
         query_dtype=None,
         router_starts: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray, SearchStats]:
@@ -533,7 +532,7 @@ class GraphIndex:
             router_ids = self._router_ids_live(mode)
             use_router = router_ids is not None
             fn = self._composed_quant_fn(
-                mode, k, l, w, rerank_l, max_hops, fused,
+                mode, k, l, w, rerank_l, max_hops,
                 np.dtype(query_dtype).name if query_dtype else None,
                 use_router, router_starts,
             )
@@ -884,7 +883,7 @@ class GraphIndex:
             self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
         return self._router_ids
 
-    def _composed_quant_fn(self, mode, k, l, w, rl, mh, fused, wire,
+    def _composed_quant_fn(self, mode, k, l, w, rl, mh, wire,
                            use_router, router_starts=None):
         """ONE jitted program per search config: device upcast + router
         top-k + quantized traversal + full-precision rerank + output
@@ -897,7 +896,7 @@ class GraphIndex:
         # sdef0.name carries the scorer identity incl. packed (rp, dp) — a
         # re-attach at a different dp must not reuse a cached program whose
         # closure baked the old layout's shapes
-        key = (mode, k, l, w, rl, mh, fused, wire, use_router,
+        key = (mode, k, l, w, rl, mh, wire, use_router,
                router_starts, self.config, expand_r, sdef0.name)
         if self._compose_cache is None:
             self._compose_cache = {}
@@ -945,7 +944,6 @@ class GraphIndex:
                 sdef, sdata, adjacency, st, q,
                 l_search=l, beam_width=w, max_hops=mh_eff,
                 history_capacity=hist, dedup=dedup, expand_r=expand_r,
-                fused=fused,
             )
             fd, fi = _rerank(
                 res.ids[:, :rl_eff], q, vectors, sq_norms, valid, metric, k
@@ -957,8 +955,7 @@ class GraphIndex:
 
     def _quant_search_batch(self, q, k, l, w, mode, start=None,
                             rerank_l: int | None = None,
-                            max_hops: int | None = None,
-                            fused: bool = False):
+                            max_hops: int | None = None):
         from diskann_tpu.graph.search import beam_search_scored
 
         sdef, sdata, _er = self._scorer_for_mode(mode)
@@ -972,7 +969,6 @@ class GraphIndex:
             # scripts/profile_prod.py); both are exact in results
             dedup="list" if (mode == "packed" or w > 1) else "ring",
             expand_r=self.packed.r_pack if mode == "packed" else None,
-            fused=fused,
         )
         # full-precision rerank of the top-L (RerankAndFilter,
         # disk_provider.rs:292): one gather + one sort, then filter deleted.

@@ -184,7 +184,6 @@ def grow_resume_state(st: ResumeState, l_total: int,
         "accept_fn",
         "filter_beta",
         "filter_mode",
-        "fused",
         "expand_r",
         "return_state",
         "reserve",
@@ -209,7 +208,6 @@ def beam_search_scored(
     accept_data=None,
     filter_beta: float = 1.0,
     filter_mode: str = "inline",   # "inline" | "multihop"
-    fused: bool = False,       # opt-in fused Pallas hop kernel (see note)
     query_valid: jax.Array | None = None,  # [B] bool — padded query rows
     expand_r: int | None = None,   # scorer.expand slots/node if != adjacency R
     resume_state: ResumeState | None = None,  # continue a prior search
@@ -298,26 +296,6 @@ def beam_search_scored(
     if query_valid is not None:
         # converged-from-the-start rows: mark everything expanded
         init_exp = jnp.where(query_valid[:, None], init_exp, 1)
-
-    import os as _os
-
-    use_fused = (
-        fused
-        and dedup == "list"
-        and accept_fn is None
-        and resume_state is None
-        and not return_state
-        and n < (1 << 24)  # ids ride f32 matmuls exactly below 2^24
-        and _os.environ.get("DISKANN_NO_FUSED") != "1"
-    )
-    if use_fused:
-        return _fused_loop(
-            scorer_def, scorer_data, adjacency, q_ctx, queries,
-            init_d, init_i, init_exp,
-            svalid.astype(jnp.int32).sum(axis=1),
-            l=l, w=w, r=r, n=n, max_hops=max_hops, p=p,
-            record_pool=record_pool,
-        )
 
     if resume_state is not None:
         # continue from a prior search's scratch (paged.rs resume semantics);
@@ -632,111 +610,6 @@ def beam_search_scored(
     return out
 
 
-def _fused_loop(
-    scorer_def, scorer_data, adjacency, q_ctx, queries,
-    init_d, init_i, init_exp, init_cmps,
-    *, l, w, r, n, max_hops, p, record_pool,
-):
-    """Search loop built around the fused Pallas hop kernel
-    (`ops/kernels/hop_update.py`): per iteration ONE kernel op does the
-    merge + frontier select; XLA contributes the adjacency/code gathers, the
-    distance contraction and the cheap candidate preparation sorts.
-    dedup="list" semantics."""
-    from diskann_tpu.ops.kernels.hop_update import (
-        hop_update, hop_update_ref, prepare_candidates,
-    )
-
-    b = init_d.shape[0]
-    interpret = jax.default_backend() != "tpu"
-    kernel = hop_update_ref if interpret else hop_update
-
-    # initial frontier: the W closest (all unexpanded) entries of the init list
-    beam_i = jnp.where(init_exp[:, :w] == 0, init_i[:, :w], -1)
-    beam_d = init_d[:, :w]
-    init_exp = init_exp.at[:, :w].set(1)
-
-    state = SearchState(
-        best_d=init_d,
-        best_i=init_i,
-        best_exp=init_exp,
-        ring=jnp.zeros((b, 1), jnp.int32),
-        pool_d=jnp.full((b, p), jnp.inf, jnp.float32),
-        pool_i=jnp.full((b, p), -1, jnp.int32),
-        pool_n=jnp.zeros((b,), jnp.int32),
-        match_d=jnp.full((b, 1), jnp.inf, jnp.float32),
-        match_i=jnp.full((b, 1), -1, jnp.int32),
-        cmps=init_cmps,
-        hops=jnp.zeros((b,), jnp.int32),
-    )
-
-    def cond(carry):
-        it, st, beam_i, beam_d = carry
-        return (it < max_hops) & jnp.any(beam_i >= 0)
-
-    def body(carry):
-        it, st, beam_i, beam_d = carry
-        beam_valid = beam_i >= 0
-
-        if record_pool:
-            off = jnp.minimum(it * w, p - w)
-            overflow = (it * w + w) > p
-            pd = jax.lax.dynamic_update_slice(
-                st.pool_d, jnp.where(beam_valid, beam_d, jnp.inf), (0, off)
-            )
-            pi = jax.lax.dynamic_update_slice(
-                st.pool_i, jnp.where(beam_valid, beam_i, -1), (0, off)
-            )
-            pool_d = jnp.where(overflow, st.pool_d, pd)
-            pool_i = jnp.where(overflow, st.pool_i, pi)
-            pool_n = st.pool_n + beam_valid.astype(jnp.int32).sum(axis=1)
-        else:
-            pool_d, pool_i, pool_n = st.pool_d, st.pool_i, st.pool_n
-
-        # expand + score every neighbor (dups/members dropped in prepare)
-        if scorer_def.expand is not None:
-            cand, cand_d = scorer_def.expand(
-                scorer_data, q_ctx, beam_i, beam_valid
-            )
-        else:
-            nbrs = adjacency[jnp.clip(beam_i, 0, n - 1)]
-            nbrs = jnp.where(beam_valid[:, :, None], nbrs, -1)
-            cand = nbrs.reshape(b, w * r)
-            cand_d = scorer_def.score(scorer_data, q_ctx, cand, cand >= 0)
-
-        cand, cand_d = prepare_candidates(st.best_i, cand, cand_d)
-        ku = kernel(st.best_d, st.best_i, st.best_exp, cand, cand_d, w=w)
-
-        new_st = SearchState(
-            best_d=ku.best_d,
-            best_i=ku.best_i,
-            best_exp=ku.best_exp,
-            ring=st.ring,
-            pool_d=pool_d,
-            pool_i=pool_i,
-            pool_n=pool_n,
-            match_d=st.match_d,
-            match_i=st.match_i,
-            cmps=st.cmps + ku.fresh,
-            hops=st.hops + beam_valid.astype(jnp.int32).sum(axis=1),
-        )
-        return it + 1, new_st, ku.beam_i, ku.beam_d
-
-    _, st, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state, beam_i, beam_d)
-    )
-    return SearchResult(
-        dists=st.best_d,
-        ids=st.best_i,
-        cmps=st.cmps,
-        hops=st.hops,
-        pool_d=st.pool_d,
-        pool_i=st.pool_i,
-        pool_n=st.pool_n,
-        match_d=st.match_d,
-        match_i=st.match_i,
-    )
-
-
 def beam_search(
     vectors: jax.Array,        # [N, d]
     vec_sq_norms: jax.Array,   # [N]
@@ -752,7 +625,6 @@ def beam_search(
     pool_capacity: int = 1,
     record_pool: bool = False,
     dedup: str = "ring",
-    fused: bool = False,
     query_valid: jax.Array | None = None,
 ) -> SearchResult:
     """Full-precision beam search (the in-memory provider configuration)."""
@@ -766,6 +638,5 @@ def beam_search(
         pool_capacity=pool_capacity,
         record_pool=record_pool,
         dedup=dedup,
-        fused=fused,
         query_valid=query_valid,
     )

@@ -1,9 +1,17 @@
 """Pallas TPU kernels for the ops XLA schedules poorly.
 
-The measured per-`while`-iteration scheduling floor (~0.5ms) and per-op
-costs mean a beam-search hop built from ~10 XLA ops pays ~5-10ms of pure
-overhead.  These kernels fuse a hop's list operations into one op."""
+- `fatrow_expand`: the production beam-expansion kernel — pipelined fat-row
+  DMAs + in-VMEM int8 scoring (see `graph/packed.py` for the layout).
+- `block_patch`: aligned-block DMA patching of the packed word table
+  (XLA's windowed scatter serializes per index).
 
-from diskann_tpu.ops.kernels.hop_update import hop_update, hop_update_ref
+A fused merge+frontier-select kernel (`hop_update`) lived here through
+round 2; it never beat the 2-operand packed-key XLA merge sorts on the
+headline bench and was removed (the dp=128 code path shrank the list
+widths its fusion targeted).
+"""
 
-__all__ = ["hop_update", "hop_update_ref"]
+from diskann_tpu.ops.kernels.fatrow_expand import fatrow_expand, fatrow_expand_ref
+from diskann_tpu.ops.kernels.block_patch import block_patch
+
+__all__ = ["fatrow_expand", "fatrow_expand_ref", "block_patch"]

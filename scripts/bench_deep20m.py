@@ -41,7 +41,7 @@ N = int(os.environ.get("DEEP_N", 20_000_000))
 D = 128
 NQ = int(os.environ.get("DEEP_NQ", 1024))
 K = 10
-SHARDS = int(os.environ.get("DEEP_SHARDS", 28))
+SHARDS = int(os.environ.get("DEEP_SHARDS", 24))
 R = int(os.environ.get("DEEP_R", 40))
 NC = 32768           # mixture components
 SIGMA = 0.35

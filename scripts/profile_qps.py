@@ -1,7 +1,7 @@
 """Controlled production QPS sweep on the REAL bench index (1M x 128).
 
 Builds (or loads) the exact bench.py index ONCE, then sweeps search
-configs (L, W, max_hops, rerank_l, fused) in one process with a
+configs (L, W, max_hops, rerank_l) in one process with a
 contention probe before each timed point — the v5e chip is shared and
 identical programs vary 10-20x across runs, so only same-process deltas
 with a healthy probe are trustworthy (CLAUDE.md perf model).
@@ -33,7 +33,7 @@ N = int(os.environ.get("QPS_N", 1_000_000))
 NQ = int(os.environ.get("QPS_NQ", 8192))
 D, K = 128, 10
 
-# (l, w, max_hops, rerank_l, fused)
+# (l, w, max_hops, rerank_l)
 CONFIGS = [
     (90, 4, None, None, False),   # current bench baseline
     (90, 4, None, 32, False),     # rerank budget
@@ -41,7 +41,6 @@ CONFIGS = [
     (100, 4, 16, 32, False),
     (100, 4, 14, 32, False),
     (120, 4, 14, 32, False),
-    (100, 4, 16, 32, True),       # fused hop kernel
     (100, 8, 8, 32, False),       # wide beam, capped
     (90, 4, None, 16, False),
     (60, 4, None, 32, False),
@@ -120,7 +119,7 @@ def main():
     base_cfg = idx.config
     results = []
     for c in CONFIGS:
-        (l, w, mh, rl, fu), rest = c[:5], c[5:]
+        (l, w, mh, rl, _legacy_fused), rest = c[:5], c[5:]
         sbs = rest[0] if len(rest) > 0 and rest[0] else NQ
         qdt = rest[1] if len(rest) > 1 and rest[1] else None
         router_off = bool(rest[2]) if len(rest) > 2 else False
@@ -139,7 +138,7 @@ def main():
         idx.search_batch_size = sbs
         p_ms = probe()
         kw = dict(l_search=l, mode="packed", beam_width=w,
-                  rerank_l=rl, max_hops=mh, fused=fu,
+                  rerank_l=rl, max_hops=mh,
                   query_dtype=np.dtype(qdt) if qdt else None)
         try:
             idx.search(qn, K, **kw)  # compile
@@ -147,11 +146,11 @@ def main():
             _, ids, stats = idx.search(qn, K, **kw)
             dt = time.time() - t0
         except Exception as e:
-            LOG(f"[qps] L={l} W={w} mh={mh} rl={rl} fused={fu}: "
+            LOG(f"[qps] L={l} W={w} mh={mh} rl={rl}: "
                 f"FAILED {type(e).__name__}: {e}")
             continue
         r = knn_recall(ids, gt, K)
-        row = {"l": l, "w": w, "max_hops": mh, "rerank_l": rl, "fused": fu,
+        row = {"l": l, "w": w, "max_hops": mh, "rerank_l": rl,
                "sbs": sbs, "qdt": qdt, "router_off": router_off,
                "router": (idx.config.router_size, idx.config.router_starts),
                "recall": round(float(r), 4), "qps": round(NQ / dt),
