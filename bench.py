@@ -278,6 +278,10 @@ def main():
     )
     best = None
     sweep = []
+    # the shared chip varies 3-10x between runs; repeat each point and keep
+    # the fastest timing (recall is deterministic) so one contended window
+    # doesn't misreport the whole sweep
+    reps = int(os.environ.get("BENCH_REPS", 2))
     for l in l_sweep:
         try:
             with _Watchdog(1500, f"search sweep point L={l}"):
@@ -285,13 +289,16 @@ def main():
                            rerank_l=rerank_l,
                            query_dtype=query_dtype, router_starts=rstarts,
                            max_hops=max_hops)  # compile at full batch shape
-                t0 = time.time()
-                _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
-                                           beam_width=sw, rerank_l=rerank_l,
-                                           max_hops=max_hops,
-                                           query_dtype=query_dtype,
-                                           router_starts=rstarts)
-                dt = time.time() - t0
+                dt = float("inf")
+                for _ in range(max(reps, 1)):
+                    t0 = time.time()
+                    _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
+                                               beam_width=sw,
+                                               rerank_l=rerank_l,
+                                               max_hops=max_hops,
+                                               query_dtype=query_dtype,
+                                               router_starts=rstarts)
+                    dt = min(dt, time.time() - t0)
         except TimeoutError as te:
             # wedged relay: report what the sweep has so far rather than
             # hanging the round's bench artifact

@@ -9,6 +9,7 @@ staged to the device per search batch for the rerank step — `device_put`
 double-buffering standing in for io_uring batched reads."""
 
 from diskann_tpu.tiered.index import TieredIndex, HostVectorStore
+from diskann_tpu.tiered.stores import SqliteVectorStore
 from diskann_tpu.tiered.merged_build import build_merged
 
-__all__ = ["TieredIndex", "HostVectorStore", "build_merged"]
+__all__ = ["TieredIndex", "HostVectorStore", "SqliteVectorStore", "build_merged"]

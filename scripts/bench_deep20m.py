@@ -61,7 +61,8 @@ def gen_data():
     key = jax.random.key(7)
     kc, kq1, kq2 = jax.random.split(key, 3)
     centers = jax.random.normal(kc, (NC, D), jnp.float32)
-    chunk = 1 << 20
+    chunk = 1_000_000
+    assert N % chunk == 0, f"DEEP_N must be a multiple of {chunk}"
 
     @jax.jit
     def make(k1):

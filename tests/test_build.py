@@ -105,3 +105,47 @@ def test_grid_2d_exact_neighbors(rng):
     q = x[qids] + 0.1
     _, ids, _ = idx.search(q, k=1, l_search=20)
     assert (ids[:, 0] == qids).mean() >= 0.95
+
+
+def test_build_capacity_override(rng):
+    """Explicit capacity > n pre-allocates uniform shapes (merged shard
+    builds share one compiled kernel set across shards)."""
+    from diskann_tpu import GraphConfig, GraphIndex
+
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = GraphIndex.build(
+        x, GraphConfig(max_degree=8, l_build=16), insert_batch_size=128,
+        capacity=1024,
+    )
+    assert idx.state.capacity == 1024
+    assert idx.n == 300
+    _, ids, _ = idx.search(x[:4] + 0.01, k=3, l_search=16)
+    assert (ids[:, 0] >= 0).all()
+
+
+def test_packed_readonly_guard(rng):
+    """A read-only (writable=False) packed table refuses streaming edge
+    appends with a clear error instead of corrupting."""
+    import pytest as _pytest
+
+    from diskann_tpu import GraphConfig, GraphIndex
+    from diskann_tpu.graph import packed as pk
+
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    idx = GraphIndex.build(
+        x, GraphConfig(max_degree=8, l_build=16), insert_batch_size=128,
+    )
+    idx.attach_packed(dp=8, writable=False)
+    # searches work
+    _, ids, _ = idx.search(x[:4] + 0.01, k=3, l_search=16, mode="packed")
+    assert (ids[:, 0] >= 0).all()
+    # the guard fires before any table access, so a duck-typed stand-in
+    # exercises the >=2^31-word error path without an 8GB allocation
+    class _BigRows:
+        size = 1 << 31
+
+    class _BigPacked:
+        rows = _BigRows()
+
+    with _pytest.raises(ValueError, match="read-only"):
+        pk.append_edges(_BigPacked(), None, None, None, None)

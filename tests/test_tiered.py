@@ -317,3 +317,37 @@ def test_merged_build_pq_codes(rng):
     _, ids2, _ = t.search_batched(q, k=10, l_search=48, batch_size=32,
                                   mode="pq")
     assert knn_recall(ids2, gt_i, 10) >= 0.85
+
+
+def test_sqlite_vector_store_plugs_in(tmp_path, rng):
+    """Second real external store through the provider boundary (the
+    diskann-bftree exemplar role, `diskann-bftree/src/lib.rs:6-35`): a
+    SQLite B-tree serves the full-precision rerank tier with identical
+    results to the in-RAM store, including the async staging pipeline."""
+    from diskann_tpu import GraphConfig, GraphIndex
+    from diskann_tpu.tiered import TieredIndex
+    from diskann_tpu.tiered.stores import SqliteVectorStore
+
+    n, d = 1000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    g = GraphIndex.build(x, GraphConfig(max_degree=12, l_build=24),
+                         insert_batch_size=512)
+    g.attach_packed(dp=16)
+    store = SqliteVectorStore.from_array(str(tmp_path / "v.db"), x)
+    assert store.n == n and store.dim == d
+    np.testing.assert_allclose(store.fetch(np.array([3, 9, 999])),
+                               x[[3, 9, 999]])
+    ti = TieredIndex(g, store)
+    ti_ram = TieredIndex(g, HostVectorStore(x))
+    q = rng.standard_normal((24, d)).astype(np.float32)
+    d1, i1, _ = ti.search(q, k=5, l_search=24)
+    d2, i2, _ = ti_ram.search(q, k=5, l_search=24)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    # pipelined path drives fetch_async/fetch_wait
+    d3, i3, _ = ti.search_batched(q, k=5, l_search=24, batch_size=8)
+    np.testing.assert_array_equal(i3, i2)
+    # streaming writes: replace a row, the rerank sees the new bytes
+    store.put(np.array([0]), np.ones((1, d), np.float32) * 9.0)
+    got = store.fetch(np.array([0]))
+    np.testing.assert_allclose(got[0], 9.0)
