@@ -29,13 +29,17 @@ def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: i
 
     def body(c, carry):
         best_d, best_i = carry
-        start = c * chunk
+        # the tail chunk CLAMPS its start instead of padding the database —
+        # padding would copy the whole (possibly 10GB+) array; rows the
+        # clamped window re-reads were covered by the previous chunk and
+        # are masked out so no id can enter the top-k twice
+        start_u = c * chunk
+        start = jnp.minimum(start_u, n - chunk)
         v = jax.lax.dynamic_slice_in_dim(vectors, start, chunk, axis=0)
         vn = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
         d = distance_to_set(queries, v, metric, x_sq_norms=vn, q_sq_norms=q_sq)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
-        # out-of-range rows of the final (padded) chunk
-        d = jnp.where(ids < n, d, jnp.inf)
+        d = jnp.where(ids >= start_u, d, jnp.inf)
         best_d, best_i = merge_sorted(best_d, best_i, d, ids, k)
         return best_d, best_i
 
@@ -68,13 +72,8 @@ class FlatIndex:
                 # shaped, so keep chunks small enough to stay in VMEM tiles
                 chunk = min(2048, chunk)
         chunk = min(chunk, self.n)
-        # pad the database so dynamic_slice chunks never clamp short
-        pad = (-self.n) % chunk
-        vectors, sq = self.vectors, self.sq_norms
-        if pad:
-            vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
-            sq = jnp.pad(sq, (0, pad))
         d, i = _flat_search(
-            queries, vectors, sq, metric=self.metric, k=k, chunk=chunk, n=self.n
+            queries, self.vectors, self.sq_norms,
+            metric=self.metric, k=k, chunk=chunk, n=self.n,
         )
         return np.asarray(d), np.asarray(i)
