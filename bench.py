@@ -270,6 +270,12 @@ def main():
     # BENCH_RS: per-query router entry points (0 = config default 4).  More
     # starts seed a better initial list so the walk needs fewer hops.
     rstarts = int(os.environ.get("BENCH_RS", 0)) or None
+    # BENCH_UNROLL: statically unroll the composed hop loop — removes the
+    # ~0.5ms/iteration lax-loop floor (~3ms/dispatch at mh=6) at the cost
+    # of a longer compile.  BENCH_RCOMP=bf16: router distances in bf16
+    # (halves the [B, S] HBM materialization; entry selection only).
+    idx.unroll_hops = os.environ.get("BENCH_UNROLL", "0") == "1"
+    idx.router_compute = os.environ.get("BENCH_RCOMP", "int8")
     l_sweep = tuple(
         int(v) for v in os.environ.get(
             "BENCH_LS",

@@ -18,6 +18,32 @@ from diskann_tpu.ops.distance import Metric, distance_to_set, squared_norms
 from diskann_tpu.ops.topk import merge_sorted
 
 
+@partial(jax.jit, static_argnames=("chunk", "n"))
+def _sq_norms_chunked(x, *, chunk: int, n: int):
+    """Row norms of a huge array without materializing the square.
+
+    Eager ``squared_norms`` on an N x d array dispatches the elementwise
+    square as its own XLA program, so the [N, d] product materializes in
+    HBM next to the input — at 20M x 128 f32 that is 2 x 9.5GB + output and
+    OOMs the chip.  Inside one jit the slice -> square -> reduce chain fuses
+    per chunk, so peak extra HBM is one [chunk, d] tile.  The tail chunk
+    clamps its start (same trick as ``_flat_search``); overlapped rows just
+    recompute identical norms.
+    """
+    out = jnp.zeros((n,), jnp.float32)
+    num_chunks = (n + chunk - 1) // chunk
+
+    def body(c, out):
+        start = jnp.minimum(c * chunk, n - chunk)
+        v = jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
+        vf = v.astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(
+            out, jnp.sum(vf * vf, axis=-1), (start,)
+        )
+
+    return jax.lax.fori_loop(0, num_chunks, body, out)
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "chunk", "n"))
 def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: int, n: int):
     b = queries.shape[0]
@@ -55,11 +81,14 @@ class FlatIndex:
         self.metric = metric
         # Pad N to the chunk multiple lazily in search; keep raw array here.
         self.vectors = vectors
-        self.sq_norms = (
-            squared_norms(vectors)
-            if metric.needs_norms
-            else jnp.zeros((self.n,), jnp.float32)
-        )
+        if not metric.needs_norms:
+            self.sq_norms = jnp.zeros((self.n,), jnp.float32)
+        elif self.n * self.dim > (1 << 27):
+            self.sq_norms = _sq_norms_chunked(
+                vectors, chunk=min(1 << 20, self.n), n=self.n
+            )
+        else:
+            self.sq_norms = squared_norms(vectors)
 
     def search(self, queries, k: int, *, chunk: int | None = None):
         """Exact k-NN. queries: [B, d]. Returns (dists [B,k], ids [B,k]) numpy."""

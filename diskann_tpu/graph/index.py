@@ -141,6 +141,12 @@ def _router_topk_full(vectors, sq_norms, router_ids, queries,
     """[B, d] queries x [S] router ids -> [B, n_start] nearest router ids."""
     rv = vectors[router_ids]                      # [S, d]
     rsq = sq_norms[router_ids]
+    return _router_topk_full_pre(rv, rsq, router_ids, queries, metric, n_start)
+
+
+def _router_topk_full_pre(rv, rsq, router_ids, queries,
+                          metric: Metric, n_start: int):
+    """Full-precision router over PRE-GATHERED rows (see `_router_rows`)."""
     d = _router_dist(queries, rv, rsq, metric)
     return _router_pick(d, router_ids, n_start)
 
@@ -158,12 +164,45 @@ def _router_dist(queries, rv, rsq, metric: Metric):
 def _router_topk_packed(self_codes, self_aux, proj, pscale, pbias2,
                         router_ids, queries, metric: Metric, n_start: int):
     """Router scored on int8 packed codes (one int8 MXU matmul)."""
+    rc = self_codes[router_ids]                       # [S, dp] i8
+    raux = self_aux[router_ids]
+    return _router_topk_packed_pre(
+        rc, raux, proj, pscale, pbias2, router_ids, queries, metric, n_start
+    )
+
+
+def _router_topk_packed_pre(rc, raux, proj, pscale, pbias2, router_ids,
+                            queries, metric: Metric, n_start: int,
+                            compute: str = "int8"):
+    """Packed router over PRE-GATHERED code rows.
+
+    The [S, dp] row gather is issue-bound like every row gather on this
+    target; hoisting it to router-refresh time (`GraphIndex._router_rows`)
+    removes it from every composed search dispatch.
+    compute="int8": exact historical math (query quantized to int8, MXU
+    int8 matmul, f32 epilogue — materializes an i32 [B, S]).
+    compute="bf16": bf16 MXU matmul of the scaled query against bf16-cast
+    codes — halves the [B, S] HBM materialization; entry points only need
+    to be near-nearest so the ~0.4% relative rounding is recall-neutral
+    (A/B'd on the 1M bench before becoming a default)."""
     q = queries.astype(jnp.float32) @ proj
     qb = q - pbias2[None, :] if metric.needs_norms else q
     qs = qb * pscale[None, :]
+    if compute == "bf16":
+        dots = jax.lax.dot_general(
+            qs.astype(jnp.bfloat16), rc.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+        )
+        if metric == Metric.InnerProduct:
+            d = -dots
+        else:
+            qsq = jnp.sum(qb * qb, axis=-1, keepdims=True)
+            d = (qsq.astype(jnp.bfloat16) + raux[None, :].astype(jnp.bfloat16)
+                 - 2.0 * dots)
+        return _router_pick(d, router_ids, n_start)
     qscale = jnp.maximum(jnp.abs(qs).max(axis=1), 1e-20) / 127.0
     qi = jnp.clip(jnp.round(qs / qscale[:, None]), -127, 127).astype(jnp.int8)
-    rc = self_codes[router_ids]                       # [S, dp] i8
     dots = jax.lax.dot_general(
         qi, rc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     ).astype(jnp.float32) * qscale[:, None]
@@ -171,7 +210,7 @@ def _router_topk_packed(self_codes, self_aux, proj, pscale, pbias2,
         d = -dots
     else:
         qsq = jnp.sum(qb * qb, axis=-1, keepdims=True)
-        d = qsq + self_aux[router_ids][None, :] - 2.0 * dots
+        d = qsq + raux[None, :] - 2.0 * dots
     return _router_pick(d, router_ids, n_start)
 
 
@@ -322,6 +361,7 @@ class GraphIndex:
     def _invalidate_start(self):
         self._auto_start = None
         self._router_ids = None
+        self._router_rows_cache = None
 
     def _router_starts(self, q_dev, mode: str,
                        n_start: int | None = None) -> jax.Array | None:
@@ -537,14 +577,13 @@ class GraphIndex:
                 use_router, router_starts,
             )
             _, sdata, _ = self._scorer_for_mode(mode)
-            if use_router and (mode == "packed" or getattr(
-                    self, "_hbm_vectors_dropped", False)):
-                pk = self.packed
-                router_codes = (pk.self_codes, pk.self_aux, pk.proj,
-                                pk.pscale, pk.pbias2)
+            if use_router:
+                router_codes = self._router_rows(
+                    mode == "packed"
+                    or getattr(self, "_hbm_vectors_dropped", False)
+                )
             else:
                 router_codes = ()
-            if not use_router:
                 router_ids = jnp.zeros((1,), jnp.int32)
 
         pending = []
@@ -883,6 +922,41 @@ class GraphIndex:
             self._router_ids = jnp.asarray(np.sort(sel).astype(np.int32))
         return self._router_ids
 
+    _router_rows_cache: tuple | None = None
+
+    def _router_rows(self, packed: bool) -> tuple:
+        """Pre-gathered router rows, cached per (source arrays, id set).
+
+        The [S, dp] (or [S, d]) row gather is issue-bound like every row
+        gather on this target (~70ns/row, CLAUDE.md perf model) — done
+        inside the composed program it costs ~0.8ms per sub-batch dispatch
+        at S=64k.  Gathering once here and passing the rows as jit args
+        removes it from every dispatch.  Identity keys are sound: both
+        PackedState and GraphArrays are functional (mutations `_replace`
+        into new objects), and `_invalidate_start` clears `_router_ids`."""
+        rid = self._router_ids
+        src = self.packed if packed else self.state
+        c = self._router_rows_cache
+        if c is not None and c[0] is src and c[1] is rid and c[2] == packed:
+            return c[3]
+        if packed:
+            pk = self.packed
+            rows = (pk.self_codes[rid], pk.self_aux[rid],
+                    pk.proj, pk.pscale, pk.pbias2)
+        else:
+            st = self.state
+            rows = (st.vectors[rid], st.sq_norms[rid])
+        self._router_rows_cache = (src, rid, packed, rows)
+        return rows
+
+    #: Router distance math inside the composed program: "int8" (exact
+    #: historical path) or "bf16" (halved [B, S] HBM materialization; entry
+    #: points only need to be near-nearest).  Compose-cache keyed.
+    router_compute: str = "int8"
+    #: Statically unroll the composed hop loop (kills the ~0.5ms/iteration
+    #: lax-loop scheduling floor; trades compile time).  Compose-cache keyed.
+    unroll_hops: bool = False
+
     def _composed_quant_fn(self, mode, k, l, w, rl, mh, wire,
                            use_router, router_starts=None):
         """ONE jitted program per search config: device upcast + router
@@ -897,7 +971,8 @@ class GraphIndex:
         # re-attach at a different dp must not reuse a cached program whose
         # closure baked the old layout's shapes
         key = (mode, k, l, w, rl, mh, wire, use_router,
-               router_starts, self.config, expand_r, sdef0.name)
+               router_starts, self.config, expand_r, sdef0.name,
+               self.router_compute, self.unroll_hops)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -922,6 +997,8 @@ class GraphIndex:
         packed_router = mode == "packed" or getattr(
             self, "_hbm_vectors_dropped", False
         )
+        router_compute = self.router_compute
+        unroll = self.unroll_hops
 
         @jax.jit
         def run(q_wire, sdata, adjacency, vectors, sq_norms, valid,
@@ -929,14 +1006,16 @@ class GraphIndex:
             q = q_wire.astype(jnp.float32)
             if use_router:
                 if packed_router:
-                    self_codes, self_aux, proj, pscale, pbias2 = router_codes
-                    st = _router_topk_packed(
-                        self_codes, self_aux, proj, pscale, pbias2,
+                    rc, raux, proj, pscale, pbias2 = router_codes
+                    st = _router_topk_packed_pre(
+                        rc, raux, proj, pscale, pbias2,
                         router_ids, q, metric, n_start,
+                        compute=router_compute,
                     )
                 else:
-                    st = _router_topk_full(
-                        vectors, sq_norms, router_ids, q, metric, n_start
+                    rv, rsq = router_codes
+                    st = _router_topk_full_pre(
+                        rv, rsq, router_ids, q, metric, n_start
                     )
             else:
                 st = start
@@ -944,6 +1023,7 @@ class GraphIndex:
                 sdef, sdata, adjacency, st, q,
                 l_search=l, beam_width=w, max_hops=mh_eff,
                 history_capacity=hist, dedup=dedup, expand_r=expand_r,
+                unroll=unroll,
             )
             fd, fi = _rerank(
                 res.ids[:, :rl_eff], q, vectors, sq_norms, valid, metric, k
@@ -1022,7 +1102,8 @@ class GraphIndex:
 
         sdef, _, _ = self._scorer_for_mode("packed")
         key = ("filtered", accept_fn, k, l, w, mh, beta, rl, wire,
-               use_router, n_start, self.config, sdef.name)
+               use_router, n_start, self.config, sdef.name,
+               self.router_compute, self.unroll_hops)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -1032,16 +1113,19 @@ class GraphIndex:
         metric = cfg.metric
         hist = cfg.history_capacity(l)
         expand_r = self.packed.r_pack
+        router_compute = self.router_compute
+        unroll = self.unroll_hops
 
         @jax.jit
         def run(q_wire, sdata, adjacency, bits, vectors, sq_norms, valid,
                 router_ids, router_codes, start):
             q = q_wire.astype(jnp.float32)
             if use_router:
-                self_codes, self_aux, proj, pscale, pbias2 = router_codes
-                st = _router_topk_packed(
-                    self_codes, self_aux, proj, pscale, pbias2,
+                rc, raux, proj, pscale, pbias2 = router_codes
+                st = _router_topk_packed_pre(
+                    rc, raux, proj, pscale, pbias2,
                     router_ids, q, metric, n_start,
+                    compute=router_compute,
                 )
             else:
                 st = start
@@ -1050,6 +1134,7 @@ class GraphIndex:
                 l_search=l, beam_width=w, max_hops=mh,
                 history_capacity=hist, dedup="list", expand_r=expand_r,
                 accept_fn=accept_fn, accept_data=bits, filter_beta=beta,
+                unroll=unroll,
             )
             fd, fi = _rerank(
                 res.match_i[:, :rl], q, vectors, sq_norms, valid, metric, k
@@ -1073,9 +1158,7 @@ class GraphIndex:
         n_start = self.config.router_starts
         if use_router:
             n_start = min(n_start, int(router_ids.shape[0]))
-            pk = self.packed
-            router_codes = (pk.self_codes, pk.self_aux, pk.proj,
-                            pk.pscale, pk.pbias2)
+            router_codes = self._router_rows(True)
         else:
             router_ids = jnp.zeros((1,), jnp.int32)
             router_codes = ()

@@ -239,22 +239,13 @@ def diverse_topk_device(dists, ids, attrs, k: int, max_per_attribute: int):
     (sort by (attr, position), segmented iota, invert the permutation),
     mask rank >= quota, compact the keepers left.  Two small sorts + one
     vmapped slot write — no host loop."""
+    from diskann_tpu.ops.topk import grouped_ranks
+
     b, l = ids.shape
     cap = attrs.shape[0]
     valid = ids >= 0
     a = jnp.where(valid, attrs[jnp.clip(ids, 0, cap - 1)], jnp.int32(2**31 - 1))
-    pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
-    # group by attribute, order by position inside each group
-    ga, gp = jax.lax.sort((a, pos), dimension=-1, num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones((b, 1), bool), ga[:, 1:] != ga[:, :-1]], axis=1
-    )
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, pos, 0), axis=1
-    )  # iota value at each group's start, via running max over starts
-    rank = pos - seg_start
-    # scatter ranks back to candidate order: sort (gp, rank) by position
-    _, rank = jax.lax.sort((gp, rank), dimension=-1, num_keys=1)
+    rank = grouped_ranks(a)
     keep = valid & (rank < max_per_attribute)
     slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(keep & (slot < k), slot, k)
@@ -376,10 +367,60 @@ def search_diverse(
     max_per_attribute: int = 1,
     l_search: int | None = None,
     mode: str = "full",
+    enforce: str = "traversal",
+    beam_width: int | None = None,
 ):
-    """Diversity-aware k-NN: over-fetch then apply the attribute quota on
-    device (one fused post-process after the batched search)."""
+    """Diversity-aware k-NN (`diverse_search.rs:104`).
+
+    enforce="post": over-fetch L then apply the attribute quota as a
+    post-process — cheap, but blind to quota-satisfying results beyond the
+    plain top-L.
+    enforce="traversal" (default, the reference's semantics): the
+    navigation list itself carries a per-attribute quota of
+    ``diverse_l = max_per_attribute * L / k`` (the DiversePriorityQueue
+    local-queue capacity formula, `diverse_priority_queue.rs:99-107`), so
+    over-represented attributes stop consuming list slots and the walk
+    keeps exploring toward quota-satisfying results a plain top-L search
+    would have evicted.  Both finish with the same quota-constrained top-k
+    (`post_process`, `diverse_priority_queue.rs:109-139`).
+    """
     l = l_search or max(4 * k, index.config.l_build)
-    d, ids, stats = index.search(queries, k=l, l_search=l, mode=mode)
-    od, oi = diverse_topk(d, ids, np.asarray(attrs), k, max_per_attribute)
+    attrs = np.asarray(attrs)
+    if enforce == "post":
+        d, ids, stats = index.search(queries, k=l, l_search=l, mode=mode)
+    elif enforce == "traversal":
+        from diskann_tpu.graph.index import SearchStats, _filter_deleted
+        from diskann_tpu.graph.search import beam_search_scored
+
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        cap = index.state.capacity
+        a_dev = jnp.asarray(attrs.astype(np.int32))
+        if a_dev.shape[0] < cap:
+            # points without an attribute never reach the result set; give
+            # pad rows their own group so they can't starve real attributes
+            a_dev = jnp.pad(a_dev, (0, cap - a_dev.shape[0]),
+                            constant_values=-2)
+        dl = max(1, (max_per_attribute * l) // max(k, 1))
+        sdef, sdata, expand_r = index._scorer_for_mode(mode)
+        res = beam_search_scored(
+            sdef, sdata, index.state.adjacency, index._start(),
+            jnp.asarray(q),
+            l_search=l,
+            beam_width=beam_width or index.config.beam_width,
+            max_hops=index.config.max_hops,
+            history_capacity=index.config.history_capacity(l),
+            expand_r=expand_r,
+            diverse_attrs=a_dev, diverse_l=dl,
+        )
+        d, idsj = _filter_deleted(res.dists, res.ids, index.state.valid, l)
+        d, ids = np.asarray(d), np.asarray(idsj)
+        stats = SearchStats(
+            cmps=np.asarray(res.cmps), hops=np.asarray(res.hops),
+            result_count=(ids >= 0).sum(axis=1),
+        )
+    else:
+        raise ValueError(f"unknown enforce mode {enforce!r}")
+    od, oi = diverse_topk(d, ids, attrs, k, max_per_attribute)
     return od, oi, stats

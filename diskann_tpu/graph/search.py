@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from diskann_tpu.graph.scorers import ScorerDef, full_precision_scorer
 from diskann_tpu.ops.distance import Metric
-from diskann_tpu.ops.topk import mask_duplicates_sorted
+from diskann_tpu.ops.topk import grouped_ranks, mask_duplicates_sorted
 
 # Ids are int32; -1 marks an empty/padded slot, INT32_MAX is used as a
 # sort-to-the-end sentinel during intra-hop dedup.
@@ -188,6 +188,8 @@ def grow_resume_state(st: ResumeState, l_total: int,
         "return_state",
         "reserve",
         "reseed_ring",
+        "unroll",
+        "diverse_l",
     ),
 )
 def beam_search_scored(
@@ -214,6 +216,9 @@ def beam_search_scored(
     return_state: bool = False,    # also return the final ResumeState
     reserve: int = 0,  # extra list slots beyond the active L window
     reseed_ring: bool = False,  # resume: re-seed frontier from the ring
+    unroll: bool = False,  # statically unroll the hop loop (small max_hops)
+    diverse_attrs: jax.Array | None = None,  # [cap] i32 attribute per point
+    diverse_l: int = 0,        # per-attribute quota in the navigation list
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
 
@@ -375,6 +380,39 @@ def beam_search_scored(
         if resume_state is None else resume_state.hops,
     )
 
+    # ---- in-traversal diversity quota (reference DiversePriorityQueue,
+    # `diskann/src/neighbor/diverse_priority_queue.rs`: per-attribute local
+    # queues of capacity diverse_l bound how many same-attribute candidates
+    # the navigation list may hold, so the walk keeps exploring toward
+    # quota-satisfying results a plain top-L would have evicted).  The
+    # batched equivalent: after every list merge, evict entries whose
+    # within-attribute distance-rank >= diverse_l — BEFORE truncating to L,
+    # so the slots they'd waste go to other attributes instead.
+    use_quota = diverse_attrs is not None and diverse_l > 0
+    if use_quota:
+        acap = diverse_attrs.shape[0]
+
+        def _quota_evict(md, key):
+            """md/key: [B, M] distance-sorted packed list (key = id*2|exp,
+            -1 invalid).  Returns the re-sorted quota-enforced pair."""
+            kid = key >> 1
+            a = jnp.where(
+                kid >= 0, diverse_attrs[jnp.clip(kid, 0, acap - 1)], -1
+            )
+            rank = grouped_ranks(a)
+            evict = (kid >= 0) & (rank >= diverse_l)
+            md = jnp.where(evict, jnp.inf, md)
+            key = jnp.where(evict, jnp.int32(-1), key)
+            return jax.lax.sort((md, key), dimension=-1, num_keys=1)
+
+        k0 = jnp.where(init_i >= 0, init_i * 2 + init_exp, -1)
+        d0, k0 = _quota_evict(init_d, k0)
+        init_d, init_i = d0, k0 >> 1
+        init_exp = (k0 & 1).astype(jnp.int32)
+        state = state._replace(
+            best_d=init_d, best_i=init_i, best_exp=init_exp
+        )
+
     pos_iota = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
 
     active = pos_iota < l_act  # frontier/termination window (see `reserve`)
@@ -447,6 +485,8 @@ def beam_search_scored(
             # re-pack (id, expanded) for the truncation sort; dups -> -1/1
             key2 = jnp.where(dup, jnp.int32(-1), mi * 2 + (key & 1))
             md, key2 = jax.lax.sort((md, key2), dimension=-1, num_keys=1)
+            if use_quota:
+                md, key2 = _quota_evict(md, key2)
             mi = key2 >> 1
             me = key2 & 1
             new_st = SearchState(
@@ -570,6 +610,8 @@ def beam_search_scored(
             key_parts.append(jnp.where(extra[1] >= 0, extra[1] * 2, -1))
         key = jnp.concatenate(key_parts, axis=1)
         md, key = jax.lax.sort((md, key), dimension=-1, num_keys=1)
+        if use_quota:
+            md, key = _quota_evict(md, key)
 
         new_st = SearchState(
             best_d=md[:, :l],
@@ -588,7 +630,20 @@ def beam_search_scored(
         )
         return it + 1, new_st
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    if unroll:
+        # Static unroll: each lax loop ITERATION carries a ~0.5ms scheduling
+        # floor on the target (CLAUDE.md perf model), so at the production
+        # operating point (max_hops=6) the loop control alone costs ~3ms per
+        # dispatch.  Unrolling compiles max_hops body instances back-to-back
+        # with zero loop overhead.  Semantics are identical to running the
+        # while_loop to its cap: converged rows select no frontier
+        # (beam_valid=False) and every downstream op masks on it.  The loop
+        # counter is a Python int, so ring-segment offsets become static.
+        st = state
+        for i in range(max_hops):
+            _, st = body((i, st))
+    else:
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
 
     out = SearchResult(
         dists=st.best_d,

@@ -130,3 +130,29 @@ def mask_duplicates_sorted(ids: jax.Array) -> jax.Array:
         axis=-1,
     )
     return ids == left
+
+
+def grouped_ranks(groups: jax.Array) -> jax.Array:
+    """Occurrence rank of each element within its equal-value group.
+
+    groups: [B, L] i32 group keys in PRIORITY order (earlier = better).
+    Returns [B, L] i32: for position i, how many j < i share groups[j] ==
+    groups[i].  The device formulation (shared by the diverse top-k
+    post-process and the in-traversal diversity quota — reference
+    ``DiversePriorityQueue``, `diskann/src/neighbor/diverse_priority_queue.rs`):
+    sort (group, position), mark group starts, running-max the start
+    positions (segmented iota), subtract, then invert the permutation with
+    a second small sort.
+    """
+    b, l = groups.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1)
+    ga, gp = jax.lax.sort((groups, pos), dimension=-1, num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), ga[:, 1:] != ga[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, 0), axis=1
+    )
+    rank = pos - seg_start
+    _, rank = jax.lax.sort((gp, rank), dimension=-1, num_keys=1)
+    return rank

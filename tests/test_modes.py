@@ -320,3 +320,48 @@ def test_range_search_resume_matches_restart(built):
         jb = set(b[i].tolist())
         union = max(len(ja | jb), 1)
         assert len(ja & jb) / union >= 0.95, (i, ja ^ jb)
+
+
+def test_diverse_traversal_finds_beyond_L(rng):
+    """The reference's DiversePriorityQueue keeps walking until quota-
+    satisfying results are found even when they lie beyond a plain top-L
+    window (`diverse_search.rs:104`).  Construct that exact regime: 300
+    attr-0 points blanket the query, 40 attr-1 points sit far away — the
+    plain top-L list is pure attr-0, so post-process enforcement cannot
+    return attr-1 results, while in-traversal quota enforcement must.
+    (Reachability caveat shared with the reference: the walk crosses to the
+    far cluster through alpha-pruned long edges, so the A cluster is kept
+    small enough that the quota-surviving nodes carry some A->B edge.)"""
+    n_a, n_b, d = 150, 60, 8
+    xa = 0.1 * rng.standard_normal((n_a, d)).astype(np.float32)
+    xb = (3.0 + 0.1 * rng.standard_normal((n_b, d))).astype(np.float32)
+    x = np.concatenate([xa, xb]).astype(np.float32)
+    attrs = np.concatenate([np.zeros(n_a), np.ones(n_b)]).astype(np.int64)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=48),
+                           insert_batch_size=128)
+    pad = np.zeros((idx.state.capacity,), np.int64)
+    pad[: n_a + n_b] = attrs
+    q = np.zeros((4, d), np.float32)
+
+    k, quota, l = 10, 5, 48
+    _, ids_post, _ = search_diverse(idx, q, pad, k=k, max_per_attribute=quota,
+                                    l_search=l, enforce="post")
+    _, ids_trav, _ = search_diverse(idx, q, pad, k=k, max_per_attribute=quota,
+                                    l_search=l, enforce="traversal",
+                                    beam_width=4)
+    for row in ids_trav:
+        row = row[row >= 0]
+        vals, counts = np.unique(pad[row], return_counts=True)
+        assert (counts <= quota).all()
+    # the top-32 by distance is pure attr-0: post enforcement finds no
+    # attr-1 members, the traversal quota must find the full 5
+    n1_post = (pad[ids_post[ids_post >= 0]] == 1).sum()
+    n1_trav = int((pad[ids_trav[ids_trav >= 0]] == 1).sum())
+    assert n1_post == 0, n1_post
+    assert n1_trav >= 4 * quota - 4, n1_trav  # >= 4 of 5 per query, 4 queries
+    # and the attr-1 results must be (near-)nearest attr-1 points
+    gt_b = FlatIndex(x[n_a:], Metric.L2).search(q, k=quota)[1] + n_a
+    for bi in range(4):
+        got = set(ids_trav[bi][pad[np.maximum(ids_trav[bi], 0)] == 1].tolist())
+        want = set(gt_b[bi].tolist())
+        assert len(got & want) >= quota - 1, (got, want)

@@ -156,3 +156,52 @@ def test_spherical_search_recall(rng):
     _, ids, _ = idx.search(q, k=10, l_search=48, mode="spherical",
                            beam_width=4)
     assert knn_recall(ids, gt_i, 10) >= 0.9
+
+def test_packed_unroll_exact_parity(rng):
+    """unroll_hops statically unrolls the composed hop loop; results must be
+    bit-identical to the while_loop (converged rows select no frontier, so
+    running extra body instances to the cap is a masked no-op)."""
+    n, d = 1500, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=50)] + 0.2 * rng.standard_normal(
+        (50, d)
+    ).astype(np.float32)
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    idx.attach_packed(dp=16)
+    d0, i0, s0 = idx.search(q, k=10, l_search=40, mode="packed",
+                            beam_width=4, max_hops=6)
+    idx.unroll_hops = True
+    d1, i1, s1 = idx.search(q, k=10, l_search=40, mode="packed",
+                            beam_width=4, max_hops=6)
+    idx.unroll_hops = False
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(d0, d1)
+    assert np.array_equal(s0.cmps, s1.cmps)
+
+
+def test_packed_bf16_router_recall(rng):
+    """router_compute="bf16" only changes ENTRY-POINT selection math; the
+    walk + exact rerank must keep recall within noise of the int8 router."""
+    n, d = 2000, 32
+    centers = rng.standard_normal((40, d)).astype(np.float32) * 2
+    a = rng.integers(0, 40, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 40, size=60)] + 0.2 * rng.standard_normal(
+        (60, d)
+    ).astype(np.float32)
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=24, l_build=48),
+                           insert_batch_size=512)
+    idx.attach_packed(dp=16)
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, i0, _ = idx.search(q, k=10, l_search=40, mode="packed", beam_width=4)
+    idx.router_compute = "bf16"
+    _, i1, _ = idx.search(q, k=10, l_search=40, mode="packed", beam_width=4)
+    idx.router_compute = "int8"
+    r0 = knn_recall(i0, gt_i, 10)
+    r1 = knn_recall(i1, gt_i, 10)
+    assert r1 >= r0 - 0.05, (r0, r1)
