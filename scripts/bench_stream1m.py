@@ -57,10 +57,16 @@ def main():
                       build_max_hops=12, max_occlusion_size=256)
     LOG(f"building initial index over {N} points (packed)")
     t0 = time.time()
+    # Capacity = N + margin, NOT N + cycles*step: each cycle deletes before
+    # it inserts, so freed slots recycle (per the freelist) and ns hovers at
+    # ~N.  The margin only covers routing jitter.  This also keeps the
+    # WRITABLE packed table under its 2^31 i32-word ceiling at dp=64
+    # (cap 1.04M x 2048 words/row = 2.13G words).
+    cap = N + int(os.environ.get("STREAM_CAP_MARGIN", 40_000))
     idx = GraphIndex.build(
         x_dev[:N], cfg, insert_batch_size=8192, search_batch_size=2048,
         build_mode="packed", packed_dp=64,
-        capacity=total,  # churn never reallocates: slots recycle + headroom
+        capacity=cap,
     )
     build_s = time.time() - t0
     LOG(f"build {build_s:.0f}s ({N/build_s:.0f} pts/s)")

@@ -21,7 +21,9 @@ def server():
 
 @pytest.fixture(scope="module")
 def client(server):
-    c = VectorSetClient(*server)
+    # generous socket timeout: the first VSIM compiles inside the server
+    # thread, and on a contended single-core box that can exceed 60s
+    c = VectorSetClient(*server, timeout=600.0)
     yield c
     c.close()
 
