@@ -655,17 +655,25 @@ class GraphIndex:
         return out_d, out_i, stats
 
     # ------------------------------------------------------------- quantized
-    def attach_pq(self, pq=None, *, n_chunks: int = 32, seed: int = 0) -> None:
+    def attach_pq(self, pq=None, *, n_chunks: int = 32, n_centers: int = 256,
+                  seed: int = 0) -> None:
         """Attach (or train) a product quantizer and encode all current
         vectors.  Enables PQ-guided traversal (`search(mode="pq")`) — the
         HBM analogue of the SSD tier's PQ-in-RAM beam search
         (`diskann-disk/.../disk_provider.rs:634-654`): codes are ~16x
-        smaller than f32 vectors, so each hop gathers 16x fewer bytes."""
+        smaller than f32 vectors, so each hop gathers 16x fewer bytes.
+
+        n_centers=16 selects 4-bit PQ, whose ADC runs as a fused masked
+        reduction instead of per-scalar LUT gathers (see
+        `scorers._pq_score`) — on TPU that is orders of magnitude faster
+        per hop than 8-bit PQ at equal code bytes (use 2x n_chunks for
+        equal bits)."""
         from diskann_tpu.quant.pq import train_pq
 
         vecs = np.asarray(self.state.vectors[: self.n])
         if pq is None:
-            pq = train_pq(jax.random.key(seed), vecs, n_chunks=n_chunks)
+            pq = train_pq(jax.random.key(seed), vecs, n_chunks=n_chunks,
+                          n_centers=n_centers)
         self.pq = pq
         codes = np.zeros((self.state.capacity, pq.n_chunks), np.uint8)
         codes[: self.n] = np.asarray(pq.encode(vecs))

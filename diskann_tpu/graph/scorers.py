@@ -120,11 +120,28 @@ def _pq_score(metric: Metric):
         n = codes.shape[0]
         safe = jnp.where(valid, ids, 0)
         c = codes[jnp.clip(safe, 0, n - 1)].astype(jnp.int32)   # [B, C, m]
-        flat_idx = c + jnp.arange(m, dtype=jnp.int32)[None, None, :] * k
-        b, cc, _ = flat_idx.shape
-        d = jnp.take_along_axis(
-            lut[:, None, :], flat_idx.reshape(b, cc * m)[:, None, :], axis=2
-        ).reshape(b, cc, m).sum(axis=-1)
+        b, cc, _ = c.shape
+        if k <= 32:
+            # Low-bit ADC (4-bit PQ: k=16): replace the per-scalar LUT
+            # gather with a masked broadcast-reduction.  The gather
+            # formulation issues B*C*m scalar fetches/hop (~12ns EACH on
+            # TPU regardless of size — the measured gather cost model), so
+            # 4096q x 300cand x 192chunks = 236M fetches = seconds/hop.
+            # The compare+select+sum is one fusable VPU loop nest — XLA
+            # materializes nothing: codes stream in, LUT rows sit in
+            # VMEM, and the k-way select costs k ops/element.  Only wins
+            # for small k (k=256 would cost 16x the ops); the gather path
+            # below stays for classic 8-bit PQ.  Reference ADC semantics:
+            # `fixed_chunk_pq_table.rs:35` (scalar table walk).
+            lutk = lut.reshape(b, 1, m, k)
+            onehot = c[..., None] == jnp.arange(k, dtype=jnp.int32)
+            d = jnp.sum(jnp.where(onehot, lutk, 0.0), axis=(2, 3))
+        else:
+            flat_idx = c + jnp.arange(m, dtype=jnp.int32)[None, None, :] * k
+            d = jnp.take_along_axis(
+                lut[:, None, :], flat_idx.reshape(b, cc * m)[:, None, :],
+                axis=2,
+            ).reshape(b, cc, m).sum(axis=-1)
         return jnp.where(valid, d, jnp.inf)
 
     return score

@@ -205,3 +205,57 @@ def test_packed_bf16_router_recall(rng):
     r0 = knn_recall(i0, gt_i, 10)
     r1 = knn_recall(i1, gt_i, 10)
     assert r1 >= r0 - 0.05, (r0, r1)
+
+
+def test_pq4_masked_adc_matches_gather_formulation(rng):
+    """The k<=32 masked-reduction ADC must produce the SAME distances as
+    the classic per-scalar LUT gather (they are two formulations of one
+    sum); and 4-bit traversal+rerank recall must hold up."""
+    import jax.numpy as jnp
+
+    from diskann_tpu.graph.scorers import pq_scorer
+    from diskann_tpu.quant.pq import train_pq
+    import jax
+
+    n, d, b, c = 600, 32, 16, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    pq = train_pq(jax.random.key(0), x, n_chunks=16, n_centers=16)
+    codes = pq.encode(x)
+    sdef, sdata = pq_scorer(codes, pq.pivots, Metric.L2)
+    ids = jnp.asarray(rng.integers(0, n, size=(b, c)).astype(np.int32))
+    valid = jnp.asarray(rng.random((b, c)) < 0.9)
+
+    ctx = sdef.prep(sdata, jnp.asarray(q))
+    d_fast = np.asarray(sdef.score(sdata, ctx, ids, valid))
+
+    # reference formulation: explicit scalar LUT walk
+    lut = np.asarray(ctx).reshape(b, 16, 16)
+    cN = np.asarray(codes)
+    d_ref = np.full((b, c), np.inf, np.float32)
+    for bi in range(b):
+        for ci in range(c):
+            if valid[bi, ci]:
+                d_ref[bi, ci] = lut[bi, np.arange(16),
+                                    cN[ids[bi, ci]]].sum()
+    finite = np.isfinite(d_ref)
+    np.testing.assert_allclose(d_fast[finite], d_ref[finite],
+                               rtol=1e-4, atol=1e-3)
+    assert (np.isinf(d_fast) == ~finite).all()
+
+
+def test_pq4_traversal_recall(rng):
+    n, d = 2000, 32
+    centers = rng.standard_normal((40, d)).astype(np.float32) * 2
+    a = rng.integers(0, 40, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 40, size=60)] + \
+        0.2 * rng.standard_normal((60, d)).astype(np.float32)
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=24, l_build=48),
+                           insert_batch_size=512)
+    # 4-bit at 2x chunks = same code bytes as the 8-bit test above
+    idx.attach_pq(n_chunks=16, n_centers=16)
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    _, ids_pq4, _ = idx.search(q, k=10, l_search=48, mode="pq")
+    assert knn_recall(ids_pq4, gt_i, 10) >= 0.88
