@@ -152,8 +152,18 @@ def main():
     jax.block_until_ready(idx.stacked.vectors)
     idx.delete(np.asarray(w_ids))
     jax.block_until_ready(idx.stacked.valid)
+    # second insert/delete round: with free slots present, insert takes the
+    # slot-RECYCLE path, which compiles different kernels than the pure
+    # append of the first round — the timed insert below recycles too
+    w_ids2 = idx.insert(
+        rng.standard_normal((BATCH, D)).astype(np.float32),
+        rng.integers(0, s_count, size=(BATCH, 2)),
+    )
+    jax.block_until_ready(idx.stacked.vectors)
+    idx.delete(np.asarray(w_ids2))
+    jax.block_until_ready(idx.stacked.valid)
     timings["warmup_compile_s"] = round(time.time() - t0, 2)
-    LOG(f"warmup (insert+delete compile) {timings['warmup_compile_s']}s")
+    LOG(f"warmup (insert+delete compile x2) {timings['warmup_compile_s']}s")
 
     # ---- insert a batch with 2-way overlap routing (real build kernel) ----
     newv = rng.standard_normal((BATCH, D)).astype(np.float32)
@@ -162,7 +172,7 @@ def main():
     ext_ids = idx.insert(newv, assign)
     jax.block_until_ready(idx.stacked.vectors)
     timings["insert_8192_overlap2_s"] = round(time.time() - t0, 2)
-    assert len(ext_ids) == BATCH and idx.next_ext == N + 2 * BATCH
+    assert len(ext_ids) == BATCH and idx.next_ext == N + 3 * BATCH
 
     # host-side routing cost alone (the only Python work in insert):
     t0 = time.time()
