@@ -146,20 +146,134 @@ class TieredIndex:
         return cls(graph, store)
 
     def _traversal_scorer(self, mode: str | None):
-        """(sdef, sdata, expand_r, dedup) for the HBM traversal tier.
-        mode=None picks packed when attached, else pq/sq — the packed fat
+        """(mode, sdef, sdata, expand_r, dedup) for the HBM traversal tier.
+        mode=None picks packed when attached, then sq (full-dim int8 —
+        near-exact ordering, the dp=128 lesson), then pq; the packed fat
         rows are fastest but cap at a few million points/chip; PQ codes are
         the 100M-class representation (`disk_provider.rs:634` PQ-in-RAM)."""
         g = self.graph
         if mode is None or mode == "full":
             # "full" is meaningless here — the full-precision tier lives
             # host-side; auto-pick the HBM traversal representation
-            mode = "packed" if g.packed is not None else (
-                "pq" if getattr(g, "pq", None) is not None else "sq"
-            )
+            if g.packed is not None:
+                mode = "packed"
+            elif getattr(g, "sq", None) is not None:
+                mode = "sq"
+            else:
+                mode = "pq"
         sdef, sdata, expand_r = g._scorer_for_mode(mode)
         dedup = "merge" if mode == "packed" else "list"
-        return sdef, sdata, expand_r, dedup
+        return mode, sdef, sdata, expand_r, dedup
+
+    # ------------------------------------------------------- router starts
+    _router_ids = None
+    _router_table_cache: tuple | None = None
+
+    def attach_router(self, size: int = 65536, seed: int = 0xD15C) -> None:
+        """Sample per-query entry points for the tiered traversal — the
+        reference's start-point strategies (`start_point.rs:19-41`) done
+        the TPU way: ONE matmul of the query batch against `size` sampled
+        live rows picks each query's nearest entries, replacing the single
+        approximated medoid (which costs many early hops at >HBM scale —
+        the r3 20M walk started every query from one node)."""
+        import numpy as np
+
+        g = self.graph
+        valid = np.asarray(g.state.valid[: g.n])
+        live = np.nonzero(valid)[0]
+        rng = np.random.default_rng(seed)
+        sel = np.sort(
+            rng.choice(live, size=min(size, len(live)), replace=False)
+        )
+        self._router_ids = jnp.asarray(sel.astype(np.int32))
+        self._router_table_cache = None
+
+    def _router_table(self, mode: str):
+        """(kind, rows...) — the pre-gathered router rows for `mode`
+        (gathered once, passed as jit args: row gathers are issue-bound,
+        ~70ns/row, so doing this per dispatch would cost ~5ms at S=64k)."""
+        g = self.graph
+        c = self._router_table_cache
+        if c is not None and c[0] is self._router_ids and c[1] == mode:
+            return c[2]
+        rid = self._router_ids
+        if mode == "sq":
+            tab = ("i8", g.sq_codes[rid], g.sq_aux[rid])
+        elif mode == "packed":
+            pk = g.packed
+            tab = ("i8", pk.self_codes[rid], pk.self_aux[rid])
+        else:  # pq: reconstruct the sampled rows once (S x d f32 is small)
+            rv = g.pq.decode(g.pq_codes[rid])[:, : g.dim]
+            tab = ("f32", rv, jnp.sum(rv * rv, axis=1))
+        self._router_table_cache = (rid, mode, tab)
+        return tab
+
+    _compose_cache: dict | None = None
+
+    def _composed_traverse_fn(self, mode: str, l: int, w: int, mh: int,
+                              budget: int, n_start: int, wire: str | None):
+        """ONE jitted program per search config: device upcast + router
+        top-k + quantized traversal + id-pack.  The tiered rerank cannot
+        join it (full rows live host-side), so the flow is two dispatches
+        per batch — traversal+pack here, exact rerank after staging — vs
+        the r3 pipeline's four (the production quant-path recipe,
+        `graph/index.py:968-1042`)."""
+        from diskann_tpu.graph.search import beam_search_scored
+
+        g = self.graph
+        _, sdef, _, expand_r, dedup = self._traversal_scorer(mode)
+        key = (mode, l, w, mh, budget, n_start, wire, g.config, sdef.name)
+        if self._compose_cache is None:
+            self._compose_cache = {}
+        fn = self._compose_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = g.config
+        metric = cfg.metric
+        hist = cfg.history_capacity(l)
+
+        @jax.jit
+        def run(q_wire, sdata, adjacency, router_ids, router_rows, start):
+            q = q_wire.astype(jnp.float32)
+            if n_start > 0:
+                q_ctx = sdef.prep(sdata, q)
+                if mode in ("sq", "packed"):
+                    # int8 router: same quantized-query math as the
+                    # traversal scorer, one MXU matmul over the table
+                    rc, raux = router_rows
+                    qi, qscale, qsq = q_ctx
+                    dots = jax.lax.dot_general(
+                        qi, rc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * qscale[:, None]
+                    if metric == Metric.InnerProduct:
+                        d = -dots
+                    else:
+                        d = qsq[:, None] + raux[None, :] - 2.0 * dots
+                else:
+                    rv, rsq = router_rows
+                    d = distance_to_set(
+                        q, rv, metric,
+                        x_sq_norms=rsq,
+                        q_sq_norms=squared_norms(q)
+                        if metric.needs_norms else None,
+                    )
+                _, top = jax.lax.top_k(-d, n_start)
+                st = router_ids[top]
+            else:
+                st = start
+            res = beam_search_scored(
+                sdef, sdata, adjacency, st, q,
+                l_search=l, beam_width=w, max_hops=mh,
+                history_capacity=hist, dedup=dedup, expand_r=expand_r,
+            )
+            return jnp.concatenate(
+                [res.ids[:, :budget], res.cmps[:, None], res.hops[:, None]],
+                axis=1,
+            )
+
+        self._compose_cache[key] = run
+        return run
 
     def search(
         self,
@@ -179,7 +293,7 @@ class TieredIndex:
         if queries.ndim == 1:
             queries = queries[None]
         l = l_search or max(k, g.config.l_build)
-        sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
+        _, sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
         res = beam_search_scored(
             sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
             l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
@@ -273,13 +387,24 @@ class TieredIndex:
         rerank_l: int | None = None,
         mode: str | None = None,
         max_hops: int | None = None,
+        router_starts: int = 0,
+        query_dtype=None,
+        row_wire=np.float32,
     ):
-        """Software-pipelined tiered search: batch i's host staging (async
-        native gather threads) and rerank overlap batch i+1's device
-        traversal — the TPU analogue of the disk tier's async sector reads
-        overlapping PQ compute (`disk_provider.rs:683-722`)."""
-        from diskann_tpu.graph.search import beam_search_scored
+        """Software-pipelined tiered search: ONE composed device program
+        per batch (router entry points + quantized traversal + id pack —
+        the production quant-path recipe, `graph/index.py:968-1042`), then
+        batch i's host staging (async native gather threads) and exact
+        rerank overlap batch i+1's traversal — the TPU analogue of the disk
+        tier's async sector reads overlapping PQ compute
+        (`disk_provider.rs:683-722`).
 
+        router_starts > 0 starts each query from its nearest sampled rows
+        (`attach_router`) instead of the global medoid.  row_wire: dtype
+        for the staged rows' host->device upload — the relay link runs
+        ~54MB/s, so np.float16 halves the rerank upload at <=1e-3 relative
+        distance error (ordering among the staged candidates only; the
+        f32 default keeps search_batched exactly equal to search())."""
         g = self.graph
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
@@ -287,16 +412,21 @@ class TieredIndex:
         b = queries.shape[0]
         l = l_search or max(k, g.config.l_build)
         budget = min(self.io_limit or l, rerank_l or l, l)
-        sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
+        mode, _, sdata, _, _ = self._traversal_scorer(mode)
         mh = max_hops or g.config.max_hops
-
-        def traverse(qb):
-            return beam_search_scored(
-                sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(qb),
-                l_search=l, beam_width=beam_width, max_hops=mh,
-                history_capacity=g.config.history_capacity(l),
-                dedup=dedup, expand_r=expand_r,
-            )
+        n_start = router_starts if self._router_ids is not None else 0
+        fn = self._composed_traverse_fn(
+            mode, l, beam_width, mh, budget, n_start,
+            np.dtype(query_dtype).name if query_dtype else None,
+        )
+        if n_start > 0:
+            _, *router_rows = self._router_table(mode)
+            router_rows = tuple(router_rows)
+            router_ids = self._router_ids
+        else:
+            router_rows = (jnp.zeros((1,), jnp.float32),) * 2
+            router_ids = jnp.zeros((1,), jnp.int32)
+        start = g._start()
 
         out_d = np.full((b, k), np.inf, np.float32)
         out_i = np.full((b, k), -1, np.int32)
@@ -306,16 +436,20 @@ class TieredIndex:
         for idx, off in enumerate(offs + [None]):
             if off is not None:
                 qb = queries[off : off + batch_size]
+                q_wire = jnp.asarray(
+                    qb.astype(query_dtype) if query_dtype else qb
+                )
                 with span("tiered.traverse", offset=off, rows=qb.shape[0]):
-                    res = traverse(qb)        # device dispatch (async)
-                    ids = np.asarray(res.ids)  # sync: traversal done
-                stage_ids = ids[:, :budget]
+                    packed = fn(q_wire, sdata, g.state.adjacency,
+                                router_ids, router_rows, start)
+                    arr = np.asarray(packed)   # sync: traversal done
+                ids, pc = arr[:, :budget], arr[:, budget]
+                stage_ids = ids
                 t0 = time.time()
-                handle = self.store.fetch_async(stage_ids)
+                handle = self.store.fetch_async(np.maximum(stage_ids, 0))
                 self.io_stats["rows_staged"] += int(stage_ids.size)
                 self.io_stats["stage_s"] += time.time() - t0
-                nxt = (off, qb.shape[0], stage_ids, handle, qb,
-                       np.asarray(res.cmps))
+                nxt = (off, qb.shape[0], stage_ids, handle, qb, pc)
             else:
                 nxt = None
             if pending is not None:
@@ -323,7 +457,8 @@ class TieredIndex:
                 with span("tiered.stage_wait", offset=poff):
                     rows = self.store.fetch_wait(handle)
                 d, i = _tiered_rerank(
-                    jnp.asarray(qb), jnp.asarray(rows),
+                    jnp.asarray(qb),
+                    jnp.asarray(rows.astype(row_wire, copy=False)),
                     jnp.asarray(stage_ids), g.state.valid,
                     g.config.metric, k,
                 )
@@ -390,6 +525,7 @@ class TieredIndex:
 
 @partial(jax.jit, static_argnames=("metric", "k"))
 def _tiered_rerank(queries, rows, ids, valid, metric: Metric, k: int):
+    rows = rows.astype(jnp.float32)   # rows may arrive f16 (wire format)
     cap = valid.shape[0]
     ok = (ids >= 0) & valid[jnp.clip(ids, 0, cap - 1)]
     qsq = squared_norms(queries) if metric.needs_norms else None

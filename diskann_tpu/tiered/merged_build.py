@@ -140,6 +140,7 @@ def build_merged(
     verbose: bool = False,
     codes: str = "packed",
     pq_chunks: int = 32,
+    pq_centers: int = 256,
     **build_kw,
 ) -> TieredIndex:
     """Build a `TieredIndex` for a dataset whose build does not fit HBM.
@@ -152,9 +153,14 @@ def build_merged(
 
     codes: the HBM-resident traversal representation of the merged index.
     "packed" (fat rows, ~nwr*512 B/point) is the fastest search but caps at
-    a few million points per chip; "pq" keeps [N, pq_chunks] uint8 ADC codes
-    (+ adjacency) — the reference disk tier's PQ-in-RAM shape
-    (`disk_provider.rs:634-654`) that scales to 100M-class datasets.
+    a few million points per chip; "sq" keeps full-dimension int8 codes
+    ([N, d] + adjacency — e.g. 6.7GB at 20M x 128), the near-exact
+    traversal representation (the dp=128 lesson: full-dim int8 ordering
+    shifts the whole operating point to small L / few hops); "pq" keeps
+    [N, pq_chunks] uint8 ADC codes — the reference disk tier's PQ-in-RAM
+    shape (`disk_provider.rs:634-654`) for 100M-class datasets
+    (pq_centers=16 selects 4-bit PQ with the fused masked-reduction ADC,
+    orders faster per hop than 8-bit LUT gathers at equal code bytes).
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -285,7 +291,7 @@ def build_merged(
 
         pq = train_pq(
             jax.random.key(seed), sample, n_chunks=pq_chunks,
-            max_train_points=train_points,
+            n_centers=pq_centers, max_train_points=train_points,
         )
         graph.pq = pq
         code_rows = np.zeros((cap, pq.n_chunks), np.uint8)
@@ -295,6 +301,25 @@ def build_merged(
                 pq.encode(vectors[lo:lo + chunk])
             )
         graph.pq_codes = jnp.asarray(code_rows)
+    elif codes == "sq":
+        # ---- full-dim int8 SQ codes: near-exact traversal ordering ----
+        from diskann_tpu.graph.scorers import sq_aux_norms, sq_center_codes
+        from diskann_tpu.quant.scalar import train_scalar
+
+        sq = train_scalar(sample, n_bits=8, sigma=4.0)
+        graph.sq = sq
+        code_rows = np.zeros((cap, dim), np.int8)
+        aux_rows = np.zeros((cap,), np.float32)
+        chunk = 1 << 18
+        bias2 = None
+        for lo in range(0, n, chunk):
+            cu8 = sq.encode(jnp.asarray(vectors[lo:lo + chunk]))
+            ci8, bias2 = sq_center_codes(cu8, sq.scale, sq.bias)
+            code_rows[lo:lo + chunk] = np.asarray(ci8)
+            aux_rows[lo:lo + chunk] = np.asarray(sq_aux_norms(ci8, sq.scale))
+        graph.sq_codes = jnp.asarray(code_rows)
+        graph.sq_bias2 = bias2
+        graph.sq_aux = jnp.asarray(aux_rows)
     else:
         # ---- packed fat-row codes, chunk-encoded from host ----
         proj, pscale, pbias2 = packed_mod.train_packed(sample, min(dp, dim),

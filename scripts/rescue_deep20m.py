@@ -14,9 +14,15 @@ import re
 import sys
 
 LOGP = sys.argv[1] if len(sys.argv) > 1 else "/tmp/deep20m.log"
-OUT = "/root/repo/BENCH_DEEP20M_r03.json"
+OUT = "/root/repo/BENCH_DEEP20M_r04.json"
 
-N, D, SHARDS = 20_000_000, 128, 24
+# same env overrides (and defaults) as bench_deep20m.py, so a rescue of an
+# env-overridden run stamps the right n/n_shards and build rate
+import os  # noqa: E402
+
+N = int(os.environ.get("DEEP_N", 20_000_000))
+D = 128
+SHARDS = int(os.environ.get("DEEP_SHARDS", 24))
 
 rows = []
 built = 0
@@ -36,15 +42,20 @@ with open(LOGP) as f:
                 pass
 
 best = None
-for r in rows:
+timed = [r for r in rows if r.get("qps")]   # skip ceiling rows (qps None)
+for r in timed:
     if r.get("recall", 0) >= 0.9 and (best is None or r["qps"] > best["qps"]):
         best = r
-top = best or (max(rows, key=lambda r: r["recall"]) if rows else None)
+top = best or (max(timed, key=lambda r: r["recall"]) if timed else None)
 
+# honest metric naming: a run that never reached the 0.9 recall bar must
+# not report a QPS under a name that says it did
+met = best is not None
 out = {
-    "metric": "deep20m_tiered_qps_at_recall0.9",
-    "value": top["qps"] if top else 0,
-    "unit": "qps",
+    "metric": ("deep20m_tiered_qps_at_recall0.9" if met
+               else "deep20m_tiered_best_recall (0.9 bar NOT met)"),
+    "value": top["qps"] if met else (top["recall"] if top else 0),
+    "unit": "qps" if met else "recall@10",
     "extra": {
         "n": N, "d": D, "n_shards": SHARDS, "overlap": 2, "codes": "pq32",
         "shards_built": built,

@@ -222,6 +222,66 @@ def test_merged_build_over_budget(rng):
     assert knn_recall(ids, gt_i, 10) >= 0.88
 
 
+def test_merged_build_sq_codes_router(rng):
+    """codes="sq" merged build (full-dim int8 traversal — the 20M-tier
+    representation) + router entry points + the ONE-dispatch composed
+    search_batched path, incl. the f16 row wire."""
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 4000, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+    a = rng.integers(0, 30, size=n)
+    x = centers[a] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 30, size=50)] + 0.25 * rng.standard_normal(
+        (50, d)
+    ).astype(np.float32)
+
+    t = build_merged(
+        x, GraphConfig(max_degree=16, l_build=32), n_shards=3,
+        insert_batch_size=512, seed=3, codes="sq",
+    )
+    g = t.graph
+    assert getattr(g, "sq", None) is not None
+    assert g.sq_codes.shape == (g.state.capacity, d)
+    assert str(g.sq_codes.dtype) == "int8"
+
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+    # medoid start (no router)
+    _, ids0, _ = t.search_batched(q, k=10, l_search=48, batch_size=16)
+    assert knn_recall(ids0, gt_i, 10) >= 0.88
+    # router starts + f16 wire: recall must not degrade
+    t.attach_router(size=256)
+    _, ids1, _ = t.search_batched(
+        q, k=10, l_search=48, batch_size=16, router_starts=4,
+        row_wire=np.float16,
+    )
+    assert knn_recall(ids1, gt_i, 10) >= knn_recall(ids0, gt_i, 10) - 0.02
+    # 4-bit PQ (fused masked ADC) build + reconstructed-row router table
+    # (16 chunks = 2 dims/chunk at 16 centers — the 64-chunks-at-d=128
+    # ratio the 20M tier uses)
+    t2 = build_merged(
+        x, GraphConfig(max_degree=16, l_build=32), n_shards=3,
+        insert_batch_size=512, seed=3, codes="pq", pq_chunks=16,
+        pq_centers=16,
+    )
+    t2.attach_router(size=256)
+    _, ids2, _ = t2.search_batched(
+        q, k=10, l_search=48, batch_size=16, router_starts=4,
+    )
+    # the PQ tier's recall is bounded by the quantizer, not the graph:
+    # ceiling = exact rerank of the top-48 by TRUE PQ (ADC) distance —
+    # what a brute-force scan of the codes would stage.  The graph walk
+    # must land within 10% of that ceiling.
+    g2 = t2.graph
+    dec = np.asarray(g2.pq.decode(g2.pq_codes[:n])[:, :d])
+    adc = ((q[:, None, :] - dec[None, :, :]) ** 2).sum(-1)   # [50, n]
+    cand = np.argsort(adc, axis=1)[:, :48]
+    ex = ((q[:, None, :] - x[cand]) ** 2).sum(-1)
+    ceil_ids = np.take_along_axis(cand, np.argsort(ex, axis=1)[:, :10], 1)
+    ceiling = knn_recall(ceil_ids, gt_i, 10)
+    assert knn_recall(ids2, gt_i, 10) >= ceiling - 0.10
+
+
 def test_merged_build_single_shard_delegates(rng):
     from diskann_tpu.tiered.merged_build import build_merged
 
