@@ -176,17 +176,20 @@ def _sharded_search_filtered(
 
 @partial(jax.jit, static_argnames=("mesh", "config"))
 def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
-                    row_ext, config):
+                    row_ext, config, packed=None):
     """batch: [n_shards, M, d] — rows routed to shards by the caller;
     row_ext: [n_shards, M] external ids for the new rows.
 
     Freed slots below each shard's high-water mark are RECYCLED first
     (the reference's freelist, `diskann-inmem/src/freelist.rs`), found on
     device: free positions compact to the front with one sort, fresh rows
-    spill past the high-water mark."""
+    spill past the high-water mark.  When a per-shard packed layout is
+    passed, `insert_batch` maintains it incrementally inside the same
+    program (no re-attach)."""
 
-    def local(st, ext, n, start, vecs, valid, rext):
+    def local(st, ext, n, start, vecs, valid, rext, *p):
         st = jax.tree.map(lambda a: a[0], st)
+        p = jax.tree.map(lambda a: a[0], p[0]) if p else None
         ext, n, start = ext[0], n[0], start[0]
         cap = st.capacity
         m = vecs.shape[1]
@@ -200,8 +203,8 @@ def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
         j = jnp.arange(m, dtype=jnp.int32)
         slots = jnp.where(j < take, fpos[:m], n + j - take)
         slots = jnp.where(valid0, slots, -1)
-        st, _packed, stats = insert_batch(
-            st, slots, vecs[0], valid0, start, config,
+        st, p, stats = insert_batch(
+            st, slots, vecs[0], valid0, start, config, p,
         )
         ext = ext.at[jnp.where(valid0, slots, cap)].set(
             rext[0], mode="drop"
@@ -209,33 +212,53 @@ def _sharded_insert(mesh, stacked, ext, ns, starts, batch, row_valid,
         new_n = n + (mv - take)
         new_start = graph_state.medoid(st, new_n)[None]
         st = jax.tree.map(lambda a: a[None], st)
-        return st, ext[None], new_n[None], new_start[None], stats.cmps[None]
+        out_p = jax.tree.map(lambda a: a[None], p) if p is not None else ()
+        return (st, ext[None], new_n[None], new_start[None], out_p,
+                stats.cmps[None])
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    spec_packed = jax.tree.map(lambda _: P("shard"), packed)
+    pk_args = (packed,) if packed is not None else ()
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(spec_state, P("shard"), P("shard"), P("shard"),
-                  P("shard"), P("shard"), P("shard")),
-        out_specs=(spec_state, P("shard"), P("shard"), P("shard"), P("shard")),
+                  P("shard"), P("shard"), P("shard")) + (
+            (spec_packed,) if packed is not None else ()
+        ),
+        out_specs=(spec_state, P("shard"), P("shard"), P("shard"),
+                   spec_packed if packed is not None else (), P("shard")),
         check_vma=False,
-    )(stacked, ext, ns, starts, batch, row_valid, row_ext)
+    )(stacked, ext, ns, starts, batch, row_valid, row_ext, *pk_args)
 
 
-@partial(jax.jit, static_argnames=("mesh", "config", "n_chunks"))
-def _sharded_delete(mesh, stacked, ext, dead_ext, config, n_chunks: int = 4):
+@partial(jax.jit, static_argnames=("mesh", "config", "chunk"))
+def _sharded_delete(mesh, stacked, ext, ns, dead_ext, config, packed=None,
+                    chunk: int = 4096):
     """Shard-local IP-DiskANN delete BY EXTERNAL ID: each shard finds its
     own copies on device (membership test against its `ext` column — no
     host-side id map), marks them, repairs every referencing row, drops
-    them, and clears the ext slots.  dead_ext: [E] external ids (-1 pad),
-    replicated.  Returns (stacked, ext, per-shard deleted counts)."""
+    them, clears the ext slots, and refreshes the shard's medoid start
+    (the old start node may BE one of the deleted rows — searching from a
+    dead start silently craters recall).  dead_ext: [E] external ids (-1
+    pad), replicated.  Returns (stacked, ext, starts, packed, per-shard
+    deleted counts).
+
+    Repair work is O(affected), not O(capacity): affected row ids compact
+    to the front with one sort and a while_loop patches only the populated
+    `chunk`-sized segments — the reference's multi_inplace_delete touches
+    only discovered in-neighbors (`diskann/src/graph/index.rs:1338-1520`).
+    When a per-shard packed layout is passed, its affected fat rows are
+    refreshed IN the same program (no host-side re-attach)."""
+    from diskann_tpu.graph import packed as pk
     from diskann_tpu.graph.delete import (
         drop_deleted_rows, patch_rows, rows_referencing_deleted,
     )
 
-    def local(st, ext, dead_ext):
+    def local(st, ext, n, dead_ext, *p):
         st = jax.tree.map(lambda a: a[0], st)
-        ext = ext[0]
+        p = jax.tree.map(lambda a: a[0], p[0]) if p else None
+        ext, n = ext[0], n[0]
         cap = st.capacity
         e = dead_ext.shape[0]
         ch = min(512, e)
@@ -260,29 +283,62 @@ def _sharded_delete(mesh, stacked, ext, dead_ext, config, n_chunks: int = 4):
         )
         ext = jnp.where(hit, -1, ext)
         aff = rows_referencing_deleted(st)
-        rows = jnp.where(aff, jnp.arange(cap, dtype=jnp.int32), -1)
-        chunk = -(-cap // n_chunks)
-        pad = n_chunks * chunk - cap
-        rows = jnp.pad(rows, (0, pad), constant_values=-1)
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        # compact affected row ids to the front; cap-sentinels sort last
+        rows = jax.lax.sort(jnp.where(aff, iota, cap))
+        rows = jnp.pad(rows, (0, chunk), constant_values=cap)
+        n_aff = aff.astype(jnp.int32).sum()
 
-        def step(i, s):
+        def cond(c):
+            return c[0] * chunk < n_aff
+
+        def body(c):
+            i, s = c
             seg = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
-            return patch_rows(s, seg, config)
+            seg = jnp.where(seg >= cap, -1, seg)
+            return i + 1, patch_rows(s, seg, config)
 
-        st = jax.lax.fori_loop(0, n_chunks, step, st)
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
         st = drop_deleted_rows(st)
+        if p is not None:
+            # refresh the packed mirror for patched + dropped rows only
+            dirty = aff | hit
+            prows = jax.lax.sort(jnp.where(dirty, iota, cap))
+            prows = jnp.pad(prows, (0, chunk), constant_values=cap)
+            n_dirty = dirty.astype(jnp.int32).sum()
+
+            def pcond(c):
+                return c[0] * chunk < n_dirty
+
+            def pbody(c):
+                i, pp = c
+                seg = jax.lax.dynamic_slice(prows, (i * chunk,), (chunk,))
+                seg = jnp.where(seg >= cap, -1, seg)
+                return i + 1, pk.refresh_rows(pp, st.adjacency, seg)
+
+            _, p = jax.lax.while_loop(pcond, pbody, (jnp.int32(0), p))
+            p = jax.tree.map(lambda a: a[None], p)
+        out_p = p if p is not None else ()
+        new_start = graph_state.medoid(st, n)[None]
         return (
-            jax.tree.map(lambda a: a[None], st), ext[None], dcount[None]
+            jax.tree.map(lambda a: a[None], st), ext[None], new_start[None],
+            out_p, dcount[None],
         )
 
     spec_state = jax.tree.map(lambda _: P("shard"), stacked)
+    spec_packed = jax.tree.map(lambda _: P("shard"), packed)
+    pk_args = (packed,) if packed is not None else ()
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_state, P("shard"), P()),
-        out_specs=(spec_state, P("shard"), P("shard")),
+        in_specs=(spec_state, P("shard"), P("shard"), P()) + (
+            (spec_packed,) if packed is not None else ()
+        ),
+        out_specs=(spec_state, P("shard"), P("shard"),
+                   spec_packed if packed is not None else (),
+                   P("shard")),
         check_vma=False,
-    )(stacked, ext, dead_ext)
+    )(stacked, ext, ns, dead_ext, *pk_args)
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "dp"))
@@ -521,17 +577,26 @@ class ShardedGraphIndex:
         width = int(counts.max()) if len(pair_s) else 0
         if width == 0:
             return ext_ids
+        # bucket the routed width so repeated inserts share ONE compiled
+        # program: counts.max() of a routed batch varies call to call, and
+        # an unbucketed [n_shards, width, d] shape would retrace/recompile
+        # _sharded_insert every time (the -1/False padding makes the extra
+        # columns no-ops)
+        width = min(-(-width // 512) * 512, self.cap_per_shard)
         batch = np.zeros((self.n_shards, width, self.dim), np.float32)
         valid = np.zeros((self.n_shards, width), bool)
         rext = np.full((self.n_shards, width), -1, np.int32)
         batch[pair_s, col] = vectors[pair_j]
         valid[pair_s, col] = True
         rext[pair_s, col] = ext_ids[pair_j]
-        self.stacked, self.ext, self.ns, self.starts, _ = _sharded_insert(
+        (self.stacked, self.ext, self.ns, self.starts, new_packed,
+         _) = _sharded_insert(
             self.mesh, self.stacked, self.ext, self.ns, self.starts,
             jnp.asarray(batch), jnp.asarray(valid), jnp.asarray(rext),
-            self.config,
+            self.config, self.packed,
         )
+        if self.packed is not None:
+            self.packed = new_packed
         self.next_ext += m
         self._labels_stale = True
         return ext_ids
@@ -540,21 +605,25 @@ class ShardedGraphIndex:
     def delete(self, ext_ids) -> None:
         """Delete by external id — every shard finds and removes its copies
         ON DEVICE (membership scan of its `ext` column; no host id map) and
-        repairs its referencing rows locally (IP-DiskANN per shard).
-        Freed slots are recycled by later inserts (per-shard freelist)."""
+        repairs its referencing rows locally (IP-DiskANN per shard) in
+        O(affected) work (compacted row patching — see `_sharded_delete`).
+        An attached packed layout has its dirty fat rows refreshed inside
+        the same program (no full re-attach).  Freed slots are recycled by
+        later inserts (per-shard freelist)."""
         ext_ids = np.unique(np.asarray(ext_ids).ravel().astype(np.int32))
         if len(ext_ids) == 0:
             return
         pad = (-len(ext_ids)) % 512
         dead_ext = np.pad(ext_ids, (0, pad), constant_values=-1)
-        self.stacked, self.ext, dcount = _sharded_delete(
-            self.mesh, self.stacked, self.ext, jnp.asarray(dead_ext),
-            self.config,
+        (self.stacked, self.ext, self.starts, new_packed,
+         dcount) = _sharded_delete(
+            self.mesh, self.stacked, self.ext, self.ns,
+            jnp.asarray(dead_ext), self.config, self.packed,
         )
+        if self.packed is not None:
+            self.packed = new_packed
         self._free_total += int(np.asarray(dcount).sum())
         self.n_deleted += len(ext_ids)
-        if self.packed is not None:
-            self.attach_packed(dp=int(self.packed.dp))
 
     def attach_packed(self, *, dp: int = 64, train_sample=None) -> None:
         """Build per-shard packed sector layouts (enables mode="packed"

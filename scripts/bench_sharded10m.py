@@ -152,9 +152,10 @@ def main():
     jax.block_until_ready(idx.stacked.vectors)
     idx.delete(np.asarray(w_ids))
     jax.block_until_ready(idx.stacked.valid)
-    # second insert/delete round: with free slots present, insert takes the
-    # slot-RECYCLE path, which compiles different kernels than the pure
-    # append of the first round — the timed insert below recycles too
+    # second insert/delete round: recycle-vs-append is data-dependent inside
+    # one jitted program (traced take/where), so this round compiles nothing
+    # new — its value is leaving FREE SLOTS behind, so the timed insert
+    # below exercises the slot-recycle path at runtime
     w_ids2 = idx.insert(
         rng.standard_normal((BATCH, D)).astype(np.float32),
         rng.integers(0, s_count, size=(BATCH, 2)),

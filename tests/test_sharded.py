@@ -306,3 +306,44 @@ def test_sharded_freelist_recycles_slots(rng, mesh):
     assert not np.isin(gids[:, 0], ext[:64]).any()
     found = np.isin(ext2, gids[:, 0]).sum()
     assert found >= 12  # most nearest-neighbors are the new rows themselves
+
+
+def test_sharded_delete_of_start_node_and_packed_mirror(rng, mesh):
+    """Two regressions in one flow: (1) deleting rows that include a
+    shard's medoid start must refresh the start (a dead entry point
+    silently craters recall — the reference recomputes start points on
+    delete, `start_point.rs:19-41`); (2) with packed attached, insert and
+    delete maintain the fat-row mirror INSIDE their own programs (no
+    re-attach), so packed search stays consistent afterwards."""
+    n, d = 2000, 32
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    x = centers[rng.integers(0, 24, size=n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    q = centers[rng.integers(0, 24, size=40)] + 0.3 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+
+    cfg = GraphConfig(max_degree=16, l_build=32)
+    idx = ShardedGraphIndex(mesh, d, cfg, cap_per_shard=1024)
+    eids = idx.insert(x)
+    idx.attach_packed(dp=32)
+    # near-origin rows: closer to the dataset mean than any clustered
+    # point, so each shard's medoid start moves onto them...
+    new = rng.standard_normal((64, d)).astype(np.float32) * 0.05
+    e2 = idx.insert(new)
+    starts = np.asarray(idx.starts).ravel()
+    ecol = np.asarray(idx.ext)
+    start_ext = np.array([ecol[s, starts[s]] for s in range(len(starts))])
+    assert (start_ext >= n).any(), "precondition: a start moved to a new row"
+    # ...and deleting them all must refresh the starts, not search from
+    # dead nodes
+    idx.delete(e2)
+    starts2 = np.asarray(idx.starts).ravel()
+    valid = np.asarray(idx.stacked.valid)
+    assert all(valid[s, starts2[s]] for s in range(len(starts2)))
+    for mode in (None, "packed"):
+        kw = {"mode": mode} if mode else {}
+        _, gids, _ = idx.search(q, k=10, l_search=48, **kw)
+        assert knn_recall(gids, eids[gt_i], 10) >= 0.9, mode
