@@ -1153,12 +1153,32 @@ class GraphIndex:
         return run
 
     def _search_filtered_packed(self, queries, accept_fn, k, l, w, mh, beta,
-                                rl, query_dtype, adaptive_l, max_l_scale):
+                                rl, query_dtype, adaptive_l, max_l_scale,
+                                selectivity: float | None = None):
         """Production filtered path: sub-batched single-dispatch pipeline
         (upload i+1 overlaps compute i), identical shape to the quant
         search.  AdaptiveL falls back to ONE restart at a wider window when
         a query's matched list came back short (the reference re-searches
-        too, `inline_filter_search.rs:63-75`)."""
+        too, `inline_filter_search.rs:63-75`).
+
+        selectivity (matched fraction of live points, from the cached
+        posting-list count) widens the FIRST pass: a 1-6%-selective
+        predicate fills the matched list with plausible-but-wrong results,
+        so the found<k retry never fires — the reference's AdaptiveL
+        rescales L from an a-priori specificity estimate the same way
+        (`inline_filter_search.rs:38-75`).  Only selective predicates pay
+        the wider walk."""
+        if selectivity is not None and selectivity > 0:
+            if selectivity < 0.012:
+                scale = min(4, max_l_scale)
+            elif selectivity < 0.06:
+                scale = min(2, max_l_scale)
+            else:
+                scale = 1
+            if scale > 1:
+                l = min(l * scale, 1024)
+                rl = min(rl * scale, l)
+                mh = min(mh * scale, 48)
         b = queries.shape[0]
         bs = min(self.search_batch_size, _round_up(b, 64))
         router_ids = self._router_ids_live("packed")
@@ -1283,6 +1303,7 @@ class GraphIndex:
         # selective predicates directly (`diskann-label-filter/src/kv_index/
         # query_evaluator_impl.rs`); here the posting list is the compiled
         # accept mask over all ids, and a small match set is scanned exactly.
+        cnt = None
         if method in ("inline", "prefilter") and not getattr(
             self, "_hbm_vectors_dropped", False
         ):
@@ -1291,7 +1312,17 @@ class GraphIndex:
             if scan_threshold is not None:
                 threshold = scan_threshold
             else:
-                threshold = max(4 * l0, 512) if method == "inline" else cap
+                # mid-selectivity predicates (<= ~6% of capacity, capped at
+                # 64k members) scan exactly too: one gather + one MXU
+                # matmul per query chunk is both faster and exact vs a
+                # beta-biased walk that must pass through non-matching
+                # regions (the reference evaluates selective predicates
+                # straight off Roaring posting lists,
+                # `diskann-label-filter/src/kv_index/query_evaluator_impl.rs`)
+                threshold = (
+                    max(4 * l0, 512, min(cap // 16, 1 << 16))
+                    if method == "inline" else cap
+                )
             if cnt <= threshold:
                 acc_all = accept_fn(
                     self.labels.bits,
@@ -1303,13 +1334,22 @@ class GraphIndex:
                           64)
                 mem = np.full((pad,), -1, np.int32)
                 mem[: len(members)] = members
-                fd, fi = _member_scan(
-                    jnp.asarray(queries), jnp.asarray(mem),
-                    self.state.vectors, self.state.sq_norms,
-                    self.config.metric, k,
-                )
-                fd, fi = np.asarray(fd), np.asarray(fi)
                 b = queries.shape[0]
+                # chunk queries so the [B, M] distance matrix stays <=
+                # ~512MB next to a near-full HBM (whole-table-intermediate
+                # rule, CLAUDE.md)
+                qc = max(min(b, (1 << 27) // max(pad, 1)), 64)
+                mem_d = jnp.asarray(mem)
+                fd = np.empty((b, k), np.float32)
+                fi = np.empty((b, k), np.int32)
+                for off in range(0, b, qc):
+                    cd, ci = _member_scan(
+                        jnp.asarray(queries[off : off + qc]), mem_d,
+                        self.state.vectors, self.state.sq_norms,
+                        self.config.metric, k,
+                    )
+                    fd[off : off + qc] = np.asarray(cd)
+                    fi[off : off + qc] = np.asarray(ci)
                 stats = SearchStats(
                     cmps=np.full((b,), cnt, np.int32),
                     hops=np.zeros((b,), np.int32),
@@ -1320,10 +1360,12 @@ class GraphIndex:
         if mode == "packed":
             if self.packed is None:
                 raise ValueError("attach_packed first for mode='packed'")
+            live = max(self.n - self.n_deleted, 1)
             return self._search_filtered_packed(
                 queries, accept_fn, k, l0, w,
                 max_hops or self.config.max_hops, beta,
                 rerank_l or l0, query_dtype, adaptive_l, max_l_scale,
+                selectivity=(cnt / live) if cnt is not None else None,
             )
 
         sdef, sdata = full_precision_scorer(
@@ -1457,13 +1499,26 @@ class GraphIndex:
                 "beam_width": cfg.beam_width,
             },
         }
+        def fetch_rows(dev_arr, rows: int, step: int = 1 << 21):
+            """Chunked device->host fetch: a one-shot [:n] slice of a
+            multi-GB array materializes a full second copy in HBM next to
+            the original (and >=2GB single transfers have crashed the
+            remote helper — CLAUDE.md); <=512MB slices are verified safe."""
+            if rows * max(dev_arr[:1].nbytes, 1) <= (1 << 29):
+                return np.asarray(dev_arr[:rows])
+            out = np.empty((rows,) + dev_arr.shape[1:], dev_arr.dtype)
+            for off in range(0, rows, step):
+                end = min(off + step, rows)
+                out[off:end] = np.asarray(dev_arr[off:end])
+            return out
+
         arrays = {
-            "adjacency": np.asarray(self.state.adjacency[:n]),
+            "adjacency": fetch_rows(self.state.adjacency, n),
             "degrees": np.asarray(self.state.degrees[:n]),
             "valid": np.asarray(self.state.valid[:n]),
         }
         if not meta["hbm_vectors_dropped"]:
-            arrays["vectors"] = np.asarray(self.state.vectors[:n])
+            arrays["vectors"] = fetch_rows(self.state.vectors, n)
             # persisted (not recomputed on load): device-computed norms can
             # differ by an ulp from a host recompute, and "identical results
             # after reload" is the contract
@@ -1491,12 +1546,12 @@ class GraphIndex:
             arrays["packed_rows"] = host_rows
         if getattr(self, "pq", None) is not None:
             arrays["pq_pivots"] = np.asarray(self.pq.pivots)
-            arrays["pq_codes"] = np.asarray(self.pq_codes[:n])
+            arrays["pq_codes"] = fetch_rows(self.pq_codes, n)
         if getattr(self, "sq", None) is not None:
             meta["sq"] = {"n_bits": int(self.sq.n_bits)}
             arrays["sq_scale"] = np.asarray(self.sq.scale)
             arrays["sq_bias"] = np.asarray(self.sq.bias)
-            arrays["sq_codes"] = np.asarray(self.sq_codes[:n])
+            arrays["sq_codes"] = fetch_rows(self.sq_codes, n)
             arrays["sq_bias2"] = np.asarray(self.sq_bias2)
             arrays["sq_aux"] = np.asarray(self.sq_aux[:n])
         if getattr(self, "sph", None) is not None:
@@ -1537,6 +1592,29 @@ class GraphIndex:
         kwargs.setdefault("dtype", jnp.dtype(meta.get("dtype", "float32")))
         idx = cls(meta["dim"], cfg, capacity=max(meta["n"], 1024), **kwargs)
         n = meta["n"]
+
+        def upload_rows(buf, host, step: int = 1 << 21):
+            """Chunked DONATED row upload into a preallocated device
+            buffer: `.at[:n].set(...)` of a multi-GB host array holds the
+            upload staging + old + new buffer at once and OOMs HBM at the
+            20M tier; donated dynamic_update_slice streams it."""
+            rows = host.shape[0]
+            if rows * max(host[:1].nbytes, 1) <= (1 << 29):
+                return buf.at[:rows].set(jnp.asarray(host))
+            upd = jax.jit(
+                lambda b, c, o: jax.lax.dynamic_update_slice(
+                    b, c, (o,) + (jnp.int32(0),) * (b.ndim - 1)
+                ),
+                donate_argnums=(0,),
+            )
+            prev = None
+            for off in range(0, rows, step):
+                buf = upd(buf, jnp.asarray(host[off:off + step]),
+                          jnp.int32(off))
+                if prev is not None:
+                    np.asarray(prev)   # one-behind sync (CLAUDE.md)
+                prev = buf[:1]
+            return buf
         idx.n = n
         idx.n_deleted = meta.get("n_deleted", 0)
         idx.free_slots = list(meta.get("free_slots", []))
@@ -1565,7 +1643,7 @@ class GraphIndex:
                 ),
             )
         st = st._replace(
-            adjacency=st.adjacency.at[:n].set(jnp.asarray(arrays["adjacency"])),
+            adjacency=upload_rows(st.adjacency, arrays["adjacency"]),
             degrees=st.degrees.at[:n].set(jnp.asarray(arrays["degrees"])),
             valid=st.valid.at[:n].set(valid),
         )
@@ -1622,8 +1700,8 @@ class GraphIndex:
                 bias=jnp.asarray(arrays["sq_bias"]),
                 n_bits=meta["sq"]["n_bits"],
             )
-            idx.sq_codes = jnp.zeros((cap, idx.dim), jnp.int8).at[:n].set(
-                jnp.asarray(arrays["sq_codes"])
+            idx.sq_codes = upload_rows(
+                jnp.zeros((cap, idx.dim), jnp.int8), arrays["sq_codes"]
             )
             idx.sq_bias2 = jnp.asarray(arrays["sq_bias2"])
             idx.sq_aux = jnp.zeros((cap,), jnp.float32).at[:n].set(
