@@ -274,14 +274,41 @@ def main():
     # ~0.5ms/iteration lax-loop floor (~3ms/dispatch at mh=6) at the cost
     # of a longer compile.  BENCH_RCOMP=bf16: router distances in bf16
     # (halves the [B, S] HBM materialization; entry selection only).
-    idx.unroll_hops = os.environ.get("BENCH_UNROLL", "0") == "1"
-    idx.router_compute = os.environ.get("BENCH_RCOMP", "int8")
+    # Both default ON since round 4: A/B'd recall-neutral (BASELINE.md
+    # round-3 row) — the scored config is the best-known operating point.
+    idx.unroll_hops = os.environ.get("BENCH_UNROLL", "1") == "1"
+    idx.router_compute = os.environ.get("BENCH_RCOMP", "bf16")
     l_sweep = tuple(
         int(v) for v in os.environ.get(
             "BENCH_LS",
             "20,24,30,40,60" if attach_dp else "90,100,120,140,160,200",
         ).split(",")
     )
+    # ---- A/A noise floor (reference daily A/A runs,
+    # .github/docs/disk-benchmarks-aa.md): time a KNOWN-CONSTANT probe op
+    # several times around the sweep.  The chip is time-shared and varies
+    # 10-20x under contention, so a QPS delta is only decidable against
+    # this spread — the probe times ship in the artifact and
+    # `python -m diskann_tpu.bench check` can discount noisy runs.
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _probe_op(a):
+        def body(_, s):
+            return jnp.tanh(s @ a)
+        return jax.lax.fori_loop(0, 8, body, a)[:1, :1]
+
+    def _probe():
+        a = jnp.full((2048, 2048), 0.01, jnp.bfloat16)
+        t0 = time.time()
+        np.asarray(_probe_op(a))
+        return round(time.time() - t0, 3)
+
+    with _Watchdog(1200, "contention probe"):
+        _probe()                      # compile
+        probe_s = [_probe() for _ in range(3)]
+    LOG(f"[bench] contention probe (fixed op, 3 reps): {probe_s}s")
+
     best = None
     sweep = []
     # the shared chip varies 3-10x between runs; repeat each point and keep
@@ -295,7 +322,7 @@ def main():
                            rerank_l=rerank_l,
                            query_dtype=query_dtype, router_starts=rstarts,
                            max_hops=max_hops)  # compile at full batch shape
-                dt = float("inf")
+                rep_dts = []
                 for _ in range(max(reps, 1)):
                     t0 = time.time()
                     _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
@@ -304,7 +331,8 @@ def main():
                                                max_hops=max_hops,
                                                query_dtype=query_dtype,
                                                router_starts=rstarts)
-                    dt = min(dt, time.time() - t0)
+                    rep_dts.append(time.time() - t0)
+                dt = min(rep_dts)
         except TimeoutError as te:
             # wedged relay: report what the sweep has so far rather than
             # hanging the round's bench artifact
@@ -312,7 +340,8 @@ def main():
             break
         r = knn_recall(ids, gt, k)
         qps = nq / dt
-        sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps)})
+        sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps),
+                      "rep_spread": [round(nq / t) for t in rep_dts]})
         LOG(f"[bench] L={l}: recall@{k}={r:.4f} qps={qps:.0f} "
             f"hops={stats.hops.mean():.0f}")
         if r >= target_recall and (best is None or qps > best[1]):
@@ -387,6 +416,12 @@ def main():
             "n": n,
             "sweep": sweep,
             "filtered": filt_rows,
+            # A/A noise figures: fixed-op probe times (3 reps) measured
+            # just before the sweep + the probe rerun after it.  A clean
+            # chip runs the probe in ~1s; >3s means the sweep's QPS
+            # numbers carry contention noise.
+            "noise": {"probe_s_before": probe_s,
+                      "probe_s_after": _probe()},
         },
     }
     print(json.dumps(out), flush=True)

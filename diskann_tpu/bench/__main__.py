@@ -73,6 +73,23 @@ def main(argv=None):
         with open(args.tolerances) as f:
             tol = json.load(f)
         pf = check_tolerances(a, b, tol)
+        # self-describing gate output: show each compared metric's values
+        # (the committed AB_GATE_* files should be readable on their own)
+        def dig(d, dotted):
+            cur = d
+            for part in dotted.split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    return None
+                cur = cur[part]
+            return cur
+
+        for metric, spec in tol.items():
+            va, vb = dig(a, metric), dig(b, metric)
+            if va is None or vb is None:
+                print(f"  {metric}: missing ({va} -> {vb})")
+                continue
+            chg = (float(vb) - float(va)) / max(abs(float(va)), 1e-30)
+            print(f"  {metric}: {va} -> {vb} ({chg:+.1%})")
         if pf.passed:
             print(f"PASS ({pf.checks} checks)")
         else:
