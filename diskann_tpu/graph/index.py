@@ -347,15 +347,40 @@ class GraphIndex:
     _auto_start: jax.Array | None = None
     _router_ids: jax.Array | None = None
 
+    _start_strategy = ("medoid", 1, 0)
+
+    def set_start_strategy(self, strategy: str = "medoid", k: int = 1,
+                           seed: int = 0) -> None:
+        """Pick the walk's entry-point strategy — the reference's
+        `StartPointStrategy` family (`start_point.rs:19-41`): "medoid"
+        (default) | "first_vector" | "random_samples" | "latin_hypercube"
+        | "random_vectors".  Re-derived automatically after inserts/deletes
+        (the same invalidation as the medoid)."""
+        if strategy not in ("medoid", "first_vector", "random_samples",
+                            "latin_hypercube", "random_vectors"):
+            raise ValueError(f"unknown start strategy {strategy!r}")
+        if strategy == "random_vectors" and getattr(
+            self, "_hbm_vectors_dropped", False
+        ):
+            raise ValueError("random_vectors needs full vectors in HBM")
+        self._start_strategy = (strategy, k, seed)
+        self._invalidate_start()
+
     def _start(self) -> jax.Array:
         if self._cached_start is not None:
             return self._cached_start  # pinned (e.g. tiered drop of vectors)
         if self.n_live <= 0:
             return jnp.full((1,), -1, jnp.int32)
         if self._auto_start is None:
-            self._auto_start = graph_state.medoid(
-                self.state, jnp.int32(self.n_live)
-            )[None]
+            strat, k, seed = self._start_strategy
+            if strat == "medoid":
+                self._auto_start = graph_state.medoid(
+                    self.state, jnp.int32(self.n_live)
+                )[None]
+            else:
+                self._auto_start = graph_state.start_ids(
+                    self.state, self.n, strat, k, seed
+                )
         return self._auto_start
 
     def _invalidate_start(self):

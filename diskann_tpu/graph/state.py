@@ -110,3 +110,59 @@ def medoid(state: GraphArrays, n) -> jax.Array:
     d2 = state.sq_norms - 2.0 * dots  # + |mean|^2 constant, irrelevant to argmin
     d2 = jnp.where(state.valid, d2, jnp.inf)
     return jnp.argmin(d2).astype(jnp.int32)
+
+
+def start_ids(
+    state: GraphArrays,
+    n: int,
+    strategy: str = "medoid",
+    k: int = 1,
+    seed: int = 0,
+) -> jax.Array:
+    """Entry-point ids for a graph walk — the reference's start-point
+    strategy family (`diskann/src/graph/start_point.rs:19-41`), TPU-style:
+    every strategy resolves to a small int32 id array computed with at most
+    one device pass, usable directly as `beam_search` starts.
+
+    - "medoid": live vector closest to the running mean (the default).
+    - "first_vector": the first live id (FirstVector).
+    - "random_samples": `k` random live ids (RandomSamples).
+    - "latin_hypercube": the live id range cut into `k` strata, one random
+      live id per stratum (LatinHyperCube — stratified coverage).
+    - "random_vectors": `k` random Gaussian vectors, each mapped to its
+      nearest live node with one matmul (RandomVectors; the reference
+      seeds walks at random points in SPACE — on an id-based graph the
+      nearest live node is that point's entry).
+    """
+    import numpy as np
+
+    if strategy == "medoid":
+        return medoid(state, jnp.int32(n))[None]
+
+    valid = np.asarray(state.valid[:n])
+    live = np.nonzero(valid)[0]
+    if len(live) == 0:
+        return jnp.full((max(k, 1),), -1, jnp.int32)
+    rng = np.random.default_rng(seed)
+    if strategy == "first_vector":
+        sel = live[:1]
+    elif strategy == "random_samples":
+        sel = rng.choice(live, size=min(k, len(live)), replace=False)
+    elif strategy == "latin_hypercube":
+        strata = np.array_split(live, max(k, 1))
+        sel = np.array(
+            [rng.choice(s) for s in strata if len(s)], dtype=np.int64
+        )
+    elif strategy == "random_vectors":
+        dim = state.vectors.shape[1]
+        q = rng.standard_normal((max(k, 1), dim)).astype(np.float32)
+        qd = jnp.asarray(q)
+        d = (
+            state.sq_norms[None, :n]
+            - 2.0 * qd @ state.vectors[:n].astype(jnp.float32).T
+        )
+        d = jnp.where(jnp.asarray(valid)[None, :], d, jnp.inf)
+        sel = np.asarray(jnp.argmin(d, axis=1))
+    else:
+        raise ValueError(f"unknown start strategy {strategy!r}")
+    return jnp.asarray(np.unique(sel).astype(np.int32))

@@ -20,6 +20,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The suite is compile-dominated (one CPU core, hundreds of jit programs):
+# persist compiled executables across runs so repeat suite runs (and the
+# next round's) pay XLA compilation once.  Safe on the CPU backend; the
+# per-module clear_caches() below only drops in-process state, so cleared
+# modules re-load from this disk cache instead of recompiling.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/diskann_tpu_test_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -222,3 +222,38 @@ def test_l1_metric_end_to_end(rng):
     np.testing.assert_allclose(
         np.asarray(res.dists)[:, :k], want, rtol=1e-4, atol=1e-4
     )
+
+
+def test_start_point_strategies(rng):
+    """The reference's StartPointStrategy family (`start_point.rs:19-41`):
+    every strategy yields live entry ids and a working search; recall holds
+    for the multi-start strategies."""
+    from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+    from diskann_tpu.bench.recall import knn_recall
+
+    n, d = 1500, 24
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 2
+    x = centers[rng.integers(0, 20, size=n)] + 0.3 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    q = centers[rng.integers(0, 20, size=30)] + 0.3 * rng.standard_normal(
+        (30, d)
+    ).astype(np.float32)
+    gt_d, gt_i = FlatIndex(x, Metric.L2).search(q, k=10)
+
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    valid = np.asarray(idx.state.valid)
+    for strat, k in (("medoid", 1), ("first_vector", 1),
+                     ("random_samples", 4), ("latin_hypercube", 4),
+                     ("random_vectors", 4)):
+        idx.set_start_strategy(strat, k=k, seed=7)
+        starts = np.asarray(idx._start())
+        assert (starts >= 0).all() and valid[starts].all(), strat
+        if strat in ("first_vector",):
+            continue  # single fixed start: liveness is the contract
+        _, ids, _ = idx.search(q, 10, l_search=48)
+        assert knn_recall(ids, gt_i, 10) >= 0.9, strat
+    with pytest.raises(ValueError, match="unknown start strategy"):
+        idx.set_start_strategy("nope")
+    idx.set_start_strategy()  # back to the default
