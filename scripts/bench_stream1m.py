@@ -3,7 +3,7 @@
 streaming workload (`diskann-benchmark-core/src/streaming/graph/
 inplace_delete.rs`, BigANN runbook shape `executors/bigann/runbook.rs`).
 
-Writes /root/repo/BENCH_STREAM1M_r03.json: recall trajectory, inserts/s,
+Writes /root/repo/BENCH_STREAM1M_r04.json: recall trajectory, inserts/s,
 deletes/s, per-cycle wall times.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
@@ -37,7 +37,7 @@ CYCLES = int(os.environ.get("STREAM_CYCLES", 10))
 FRAC = float(os.environ.get("STREAM_FRAC", 0.05))
 METHOD = os.environ.get("STREAM_DELETE_METHOD", "scan")
 D, NQ, K = 128, 2048, 10
-OUT = "/root/repo/BENCH_STREAM1M_r03.json"
+OUT = "/root/repo/BENCH_STREAM1M_r04.json"
 
 
 def main():
