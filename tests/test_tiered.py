@@ -222,10 +222,12 @@ def test_merged_build_over_budget(rng):
     assert knn_recall(ids, gt_i, 10) >= 0.88
 
 
-def test_merged_build_sq_codes_router(rng):
+def test_merged_build_sq_codes_router(rng, tmp_path):
     """codes="sq" merged build (full-dim int8 traversal — the 20M-tier
     representation) + router entry points + the ONE-dispatch composed
-    search_batched path, incl. the f16 row wire."""
+    search_batched path, incl. the f16 row wire; sq variant save/load
+    round-trips with identical results (the 20M run reuses its saved
+    index across sweeps)."""
     from diskann_tpu.tiered.merged_build import build_merged
 
     n, d = 4000, 32
@@ -256,6 +258,13 @@ def test_merged_build_sq_codes_router(rng):
         row_wire=np.float16,
     )
     assert knn_recall(ids1, gt_i, 10) >= knn_recall(ids0, gt_i, 10) - 0.02
+    # sq save/load round-trip: identical results after reload
+    p = str(tmp_path / "sqidx")
+    t.save(p)
+    t_re = TieredIndex.load(p)
+    _, ids_a, _ = t.search(q[:8], k=10, l_search=48)
+    _, ids_b, _ = t_re.search(q[:8], k=10, l_search=48)
+    np.testing.assert_array_equal(ids_a, ids_b)
     # 4-bit PQ (fused masked ADC) build + reconstructed-row router table
     # (16 chunks = 2 dims/chunk at 16 centers — the 64-chunks-at-d=128
     # ratio the 20M tier uses)
