@@ -201,6 +201,32 @@ def main():
     occ = int(os.environ.get("BENCH_OCC", 256))
     cfg = GraphConfig(max_degree=r_deg, l_build=100, alpha=1.2, beam_width=w,
                       build_max_hops=bmh, max_occlusion_size=occ)
+
+    # ---- A/A noise floor (reference daily A/A runs,
+    # .github/docs/disk-benchmarks-aa.md): a KNOWN-CONSTANT probe op timed
+    # around each measured section.  The chip is time-shared and varies
+    # 10-20x under contention, so neither the build rate nor a QPS delta is
+    # decidable without this figure in the artifact.
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _probe_op(a):
+        def body(_, s):
+            return jnp.tanh(s @ a)
+        return jax.lax.fori_loop(0, 8, body, a)[:1, :1]
+
+    def _probe():
+        a = jnp.full((2048, 2048), 0.01, jnp.bfloat16)
+        t0 = time.time()
+        np.asarray(_probe_op(a))
+        return round(time.time() - t0, 3)
+
+    with _Watchdog(1200, "contention probe (pre-build)"):
+        _probe()                      # compile
+        probe_s_build = _probe()
+    LOG(f"[bench] contention probe before build: {probe_s_build}s "
+        f"(clean chip ~1s)")
     # cache key includes every data-generation parameter (like the GT cache):
     # a stale index built from a different distribution reports garbage recall
     idx_cache = os.environ.get(
@@ -284,28 +310,8 @@ def main():
             "20,24,30,40,60" if attach_dp else "90,100,120,140,160,200",
         ).split(",")
     )
-    # ---- A/A noise floor (reference daily A/A runs,
-    # .github/docs/disk-benchmarks-aa.md): time a KNOWN-CONSTANT probe op
-    # several times around the sweep.  The chip is time-shared and varies
-    # 10-20x under contention, so a QPS delta is only decidable against
-    # this spread — the probe times ship in the artifact and
-    # `python -m diskann_tpu.bench check` can discount noisy runs.
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _probe_op(a):
-        def body(_, s):
-            return jnp.tanh(s @ a)
-        return jax.lax.fori_loop(0, 8, body, a)[:1, :1]
-
-    def _probe():
-        a = jnp.full((2048, 2048), 0.01, jnp.bfloat16)
-        t0 = time.time()
-        np.asarray(_probe_op(a))
-        return round(time.time() - t0, 3)
-
+    # probe spread just before the sweep (see the pre-build probe above)
     with _Watchdog(1200, "contention probe"):
-        _probe()                      # compile
         probe_s = [_probe() for _ in range(3)]
     LOG(f"[bench] contention probe (fixed op, 3 reps): {probe_s}s")
 
@@ -420,7 +426,8 @@ def main():
             # just before the sweep + the probe rerun after it.  A clean
             # chip runs the probe in ~1s; >3s means the sweep's QPS
             # numbers carry contention noise.
-            "noise": {"probe_s_before": probe_s,
+            "noise": {"probe_s_before_build": probe_s_build,
+                      "probe_s_before": probe_s,
                       "probe_s_after": _probe()},
         },
     }

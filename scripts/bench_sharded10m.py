@@ -16,7 +16,7 @@ adopting a synthetic 10M-point sharded graph (ring adjacency — structurally
 valid: no dups, no self-loops, degree counts consistent — built directly on
 device; a real 10M CPU build would measure XLA matmul speed, not
 bookkeeping), then timing insert / delete / re-insert / save / load and
-recording host-side memory growth.  Writes SHARDED10M_r03.json.
+recording host-side memory growth.  Writes SHARDED10M_r04.json.
 
 Run: python scripts/bench_sharded10m.py
 """
@@ -57,7 +57,7 @@ N = int(os.environ.get("SH10M_N", 10_000_000))
 D = int(os.environ.get("SH10M_D", 32))
 R = 16
 BATCH = 8192
-OUT = "/root/repo/SHARDED10M_r03.json"
+OUT = "/root/repo/SHARDED10M_r04.json"
 
 
 def rss_mb():

@@ -9,11 +9,18 @@ on this distribution and reported per-mode.
 Synthetic embedding-like data: clustered 64-d latents lifted through a
 fixed random 64->768 projection, unit-normalized (IP == cosine geometry).
 
-Writes /root/repo/BENCH_WIKI100K_r03.json.
+Round-4 fix (VERDICT r3 item 3: recall@100 stalled at 0.9833 under a
+bounded hop cap): the r3 graph was BUILT navigating packed dp=128-of-768
+codes — a 6x dimensionality truncation during build that degrades every
+edge choice at d=768/IP.  100k x 768 f32 is only 307MB, so the build now
+runs full-precision (exact distances for candidate search AND prune);
+the quantized representations are attached after for SEARCH only.
+
+Writes /root/repo/BENCH_WIKI100K_r04.json.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
        scripts/bench_wiki100k.py > /tmp/wiki100k.log 2>&1 &
-Env: WIKI_N (100_000), WIKI_NQ (4096).
+Env: WIKI_N (100_000), WIKI_NQ (4096), WIKI_BUILD (full | packed).
 """
 
 import json
@@ -38,8 +45,9 @@ LOG = lambda *a: print("[wiki]", *a, file=sys.stderr, flush=True)
 
 N = int(os.environ.get("WIKI_N", 100_000))
 NQ = int(os.environ.get("WIKI_NQ", 4096))
+BUILD = os.environ.get("WIKI_BUILD", "full")
 D, DLAT, NC = 768, 64, 1024
-OUT = "/root/repo/BENCH_WIKI100K_r03.json"
+OUT = os.environ.get("WIKI_OUT", "/root/repo/BENCH_WIKI100K_r04.json")
 
 
 def make_embeddings(seed, n, nq):
@@ -83,26 +91,33 @@ def main():
     cfg = GraphConfig(max_degree=60, l_build=80, alpha=1.2, beam_width=4,
                       metric=Metric.InnerProduct,
                       build_max_hops=12, max_occlusion_size=256)
-    LOG("building (packed dp=128 of 768 = PCA int8)")
+    build_kw = (
+        dict(build_mode="packed", packed_dp=128) if BUILD == "packed"
+        else dict(build_mode="full")
+    )
+    LOG(f"building ({BUILD}; exact distances when full)")
     t0 = time.time()
     idx = GraphIndex.build(
         x_dev, cfg, insert_batch_size=8192, search_batch_size=2048,
-        build_mode="packed", packed_dp=128,
+        **build_kw,
     )
     build_s = time.time() - t0
     LOG(f"build {build_s:.0f}s ({N/build_s:.0f} pts/s)")
     x = np.asarray(x_dev)
     del x_dev
 
-    LOG("attaching SQ (int8 768) + PQ (192 chunks)")
+    LOG("attaching packed dp=128 + SQ (int8 768) + PQ (192 chunks)")
+    if idx.packed is None:
+        idx.attach_packed(dp=128)
     idx.attach_sq()
     idx.attach_pq(n_chunks=192)
 
     results = []
-    # constants-transfer check: the 1M-tuned defaults (mh=9, rs=4) vs
-    # free-running (mh=None) on THIS distribution, per quantized mode
+    # the reference gates recall@100 at search_list=200 beam=4 on this
+    # shape; sweep bounded hop caps (mh<=16) against free-running per mode
     for mode in ("packed", "sq", "pq"):
-        for label, mh in (("mh9", 9), ("free", None)):
+        for label, mh in (("mh9", 9), ("mh12", 12), ("mh16", 16),
+                          ("free", None)):
             for l in (100, 200):
                 try:
                     idx.search(qn[:256], 100, l_search=l, mode=mode,
@@ -126,13 +141,18 @@ def main():
                 results.append(row)
                 LOG(json.dumps(row))
 
-    ok = [r for r in results if r["recall@100"] >= 0.95]
+    # the round-4 bar: recall@100 >= 0.995 under a BOUNDED hop cap
+    ok = [r for r in results
+          if r["recall@100"] >= 0.995 and r["hop_cap"] != "free"]
     top = max(ok, key=lambda r: r["qps"]) if ok else max(
         results, key=lambda r: r["recall@100"]
     )
     out = {
-        "metric": "wiki100k_768d_ip_qps_at_recall100@0.95",
-        "value": top["qps"], "unit": "qps",
+        "metric": ("wiki100k_768d_ip_qps_at_recall100@0.995_boundedhops"
+                   if ok else
+                   "wiki100k_768d_ip_best_recall100 (0.995 bar NOT met)"),
+        "value": top["qps"] if ok else top["recall@100"],
+        "unit": "qps" if ok else "recall@100",
         "extra": {
             "n": N, "d": D, "metric_kind": "inner_product",
             "build_s": round(build_s, 1),
