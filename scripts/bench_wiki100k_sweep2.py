@@ -1,0 +1,183 @@
+"""Wiki100k operating-point sweep 2 (round 4): close the bounded-hop bar.
+
+Sweep 1 (`bench_wiki100k.py`, full-precision build) lifted bounded-hop
+recall@100 from 0.9833 to 0.991 (mh16/L200) but the r4 bar is >= 0.995
+under a bounded hop cap with QPS >= 3k.  Two TPU-native levers the first
+sweep never moved:
+
+- beam WIDTH instead of hop count: each `lax.while_loop` iteration costs
+  ~0.5ms fixed (CLAUDE.md), so W=8/mh=8 visits the same 64 rows as
+  W=4/mh=16 in HALF the iterations — better QPS at equal-or-better recall
+  (wider frontier explores more diverse branches per step).
+- router starts: the sampled router (64k of 100k rows!) scores the query
+  against 2/3 of the dataset with one nearly-free MXU matmul; starting
+  from its top-16/32 seeds the beam inside the true top-100's
+  neighborhood, so the walk only has to fill in the tail.
+
+Also records the FLAT exact-scan operating point: at 100k x 768 the whole
+database is 307MB — a single-chip exact scan is the idiomatic TPU answer
+at this scale (recall 1.0 by construction), reported alongside the graph
+rows as `flat_scan`.  The reference CI workload this mirrors
+(`diskann-benchmark/perf_test_inputs/wikipedia-100K-disk-index.json:24-36`)
+gates recall@100 at search_list=200, beam=4.
+
+Writes /root/repo/BENCH_WIKI100K_r04.json (same shape as sweep 1; the
+`sweep` field carries both sweeps' rows when sweep 1's artifact exists).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
+       scripts/bench_wiki100k_sweep2.py > /tmp/wiki100k_s2.log 2>&1 &
+Env: WIKI_N (100_000), WIKI_NQ (4096), WIKI_OUT.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/diskann_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+LOG = lambda *a: print("[wiki2]", *a, file=sys.stderr, flush=True)
+
+N = int(os.environ.get("WIKI_N", 100_000))
+NQ = int(os.environ.get("WIKI_NQ", 4096))
+OUT = os.environ.get("WIKI_OUT", "/root/repo/BENCH_WIKI100K_r04.json")
+
+
+def main():
+    from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+    from diskann_tpu.bench.recall import knn_recall
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from bench_wiki100k import make_embeddings
+
+    LOG(f"generating {N} x 768 unit embeddings (device)")
+    x_dev, q_dev = make_embeddings(42, N, NQ)
+    qn = np.asarray(q_dev)
+    del q_dev
+    gt_cache = f"/tmp/wiki_gt_{N}_{NQ}.npy"
+    if os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+    else:
+        LOG("exact IP groundtruth (flat scan)")
+        gflat = FlatIndex(x_dev, Metric.InnerProduct)
+        _, gt = gflat.search(qn, k=100)
+        np.save(gt_cache, gt)
+        del gflat
+
+    cfg = GraphConfig(max_degree=60, l_build=80, alpha=1.2, beam_width=4,
+                      metric=Metric.InnerProduct,
+                      build_max_hops=12, max_occlusion_size=256)
+    LOG("building (full precision)")
+    t0 = time.time()
+    idx = GraphIndex.build(
+        x_dev, cfg, insert_batch_size=8192, search_batch_size=2048,
+        build_mode="full",
+    )
+    build_s = time.time() - t0
+    LOG(f"build {build_s:.0f}s ({N/build_s:.0f} pts/s)")
+
+    LOG("attaching packed dp=128 + SQ")
+    idx.attach_packed(dp=128)
+    idx.attach_sq()
+
+    results = []
+
+    # flat exact scan — the TPU-native operating point at this scale
+    flat = FlatIndex(x_dev, metric=Metric.InnerProduct)
+    flat.search(np.asarray(qn[:256], np.float32), 100)  # compile
+    t0 = time.time()
+    _, fids = flat.search(np.asarray(qn, np.float32), 100)
+    dt = time.time() - t0
+    row = {"mode": "flat_scan", "hop_cap": "exact", "l": "-",
+           "recall@10": round(knn_recall(fids, gt, 10), 4),
+           "recall@100": round(knn_recall(fids, gt, 100), 4),
+           "qps": round(NQ / dt), "hops": 0.0}
+    results.append(row)
+    LOG(json.dumps(row))
+
+    L = 200
+    grid = [  # (beam_width W, hop cap mh, router starts rs)
+        (8, 8, 16),
+        (8, 12, 16),
+        (8, 16, 16),
+        (16, 6, 16),
+        (16, 8, 32),
+        (4, 16, 32),
+    ]
+    for mode in ("sq", "packed"):
+        for w, mh, rs in grid:
+            label = f"W{w}/mh{mh}/rs{rs}"
+            try:
+                idx.search(qn[:256], 100, l_search=L, mode=mode,
+                           beam_width=w, max_hops=mh, router_starts=rs,
+                           query_dtype=np.float16)
+                t0 = time.time()
+                _, ids, stats = idx.search(
+                    qn, 100, l_search=L, mode=mode, beam_width=w,
+                    max_hops=mh, router_starts=rs, query_dtype=np.float16,
+                )
+                dt = time.time() - t0
+            except Exception as e:
+                LOG(f"{mode}/{label}: {type(e).__name__}: {e}")
+                continue
+            row = {
+                "mode": mode, "hop_cap": f"mh{mh}", "l": L,
+                "beam_width": w, "router_starts": rs,
+                "recall@10": round(knn_recall(ids, gt, 10), 4),
+                "recall@100": round(knn_recall(ids, gt, 100), 4),
+                "qps": round(NQ / dt),
+                "hops": round(float(stats.hops.mean()), 1),
+            }
+            results.append(row)
+            LOG(json.dumps(row))
+
+    graph_ok = [r for r in results if r["mode"] != "flat_scan"
+                and r["recall@100"] >= 0.995]
+    best_graph = (max(graph_ok, key=lambda r: r["qps"]) if graph_ok
+                  else max((r for r in results if r["mode"] != "flat_scan"),
+                           key=lambda r: r["recall@100"]))
+    # merge sweep-1 rows if its artifact exists (one artifact per round)
+    prior = []
+    extra1 = {}
+    try:
+        with open(OUT) as f:
+            extra1 = json.load(f).get("extra", {})
+            prior = extra1.get("sweep", [])
+    except Exception:
+        pass
+    out = {
+        "metric": ("wiki100k_768d_ip_qps_at_recall100@0.995_boundedhops"
+                   if graph_ok else
+                   "wiki100k_768d_ip_best_recall100 (0.995 bar NOT met)"),
+        "value": best_graph["qps"] if graph_ok else best_graph["recall@100"],
+        "unit": "qps" if graph_ok else "recall@100",
+        "extra": {
+            "n": N, "d": 768, "metric_kind": "inner_product",
+            "build_s": round(build_s, 1),
+            "build_points_per_s": round(N / build_s),
+            "best": best_graph,
+            "flat_scan": results[0],
+            "sweep": results,
+            "sweep1": prior,
+            "reference_shape":
+                "wikipedia-100K-disk-index.json: d=768 IP R=59 L=80 "
+                "SQ+PQ192 search_list=200 beam=4 recall@100",
+        },
+    }
+    with open(OUT, "w") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
