@@ -373,30 +373,35 @@ def main():
         # filtered walks pass through non-matching regions, so they need a
         # higher hop budget than the plain search's saturation cap
         fmh = int(os.environ.get("BENCH_FILTERED_MH", 16))
+        # measure the PRODUCTION routing (default scan_threshold): broad
+        # predicates take the inline-beta packed walk; mid-selectivity ones
+        # (<= ~64k members) route to the exact posting-list scan — the
+        # reference evaluates selective predicates straight off Roaring
+        # posting lists too (query_evaluator_impl.rs).  The executed path
+        # is recorded per row (hops==0 <=> scan).
         for p in filt_preds:
             try:
                 with _Watchdog(1500, f"filtered sweep {p}"):
                     idx.search_filtered(
                         qn, p, k, l_search=lf, mode="packed",
                         query_dtype=query_dtype, max_hops=fmh,
-                        scan_threshold=0,
                     )  # compile
                     t0 = time.time()
-                    _, fids, _ = idx.search_filtered(
+                    _, fids, fstats = idx.search_filtered(
                         qn, p, k, l_search=lf, mode="packed",
                         query_dtype=query_dtype, max_hops=fmh,
-                        scan_threshold=0,
                     )
                     fdt = time.time() - t0
             except Exception as fe:
                 LOG(f"[bench] filtered {p!r} failed: {fe}")
                 continue
             fr = knn_recall(fids, filt_gt[p], k)
+            fpath = "scan" if int(fstats.hops.max()) == 0 else "walk"
             row = {"predicate": p, "recall": round(fr, 4),
-                   "qps": round(nq / fdt)}
+                   "qps": round(nq / fdt), "path": fpath}
             filt_rows.append(row)
             LOG(f"[bench] filtered {p!r}: recall@{k}={fr:.4f} "
-                f"qps={nq/fdt:.0f}")
+                f"qps={nq/fdt:.0f} path={fpath}")
 
     if not sweep:
         raise TimeoutError("no sweep point completed (wedged relay?)")

@@ -66,10 +66,92 @@ def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: i
         d = distance_to_set(queries, v, metric, x_sq_norms=vn, q_sq_norms=q_sq)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         d = jnp.where(ids >= start_u, d, jnp.inf)
-        best_d, best_i = merge_sorted(best_d, best_i, d, ids, k)
+        # exact per-chunk top-k first: lax.top_k is a partial reduction,
+        # far cheaper than sorting the full [B, chunk+k] concat each chunk
+        # (the sort, not the matmul, dominated the unreduced formulation)
+        kk = min(k, chunk)
+        nd, nidx = jax.lax.top_k(-d, kk)
+        nids = jnp.take_along_axis(ids, nidx, axis=1)
+        best_d, best_i = merge_sorted(best_d, best_i, -nd, nids, k)
         return best_d, best_i
 
     return jax.lax.fori_loop(0, num_chunks, body, (best_d, best_i))
+
+
+@partial(jax.jit, static_argnames=("metric", "k", "kc", "chunk", "n", "qc"))
+def _flat_search_bf16(queries, vectors_bf16, vectors, sq_norms, *,
+                      metric: Metric, k: int, kc: int, chunk: int, n: int,
+                      qc: int):
+    """Two-pass exact-after-rerank scan: a bf16 MXU shortlist pass at the
+    chip's full matmul rate, then an f32-HIGHEST rerank of the kc-candidate
+    shortlist.  bf16's 8-bit mantissa mis-ranks ~2% of near-tied neighbors
+    (measured, `ops/distance._dots` docstring), but essentially never by
+    more than a few positions — a kc >= 4k shortlist followed by exact
+    rerank restores exact top-k for all practical purposes.  This is the
+    TPU answer to the reference's f32 SIMD scan: on the MXU the bf16 pass
+    runs ~4-8x faster than the f32-emulated one.
+    """
+    b = queries.shape[0]
+    q16 = queries.astype(jnp.bfloat16)
+    q_sq = squared_norms(queries) if metric.needs_norms else None
+
+    num_chunks = (n + chunk - 1) // chunk
+    cand_d = jnp.full((b, kc), jnp.inf, dtype=jnp.float32)
+    cand_i = jnp.full((b, kc), -1, dtype=jnp.int32)
+
+    def body(c, carry):
+        cd, ci = carry
+        start_u = c * chunk
+        start = jnp.minimum(start_u, n - chunk)
+        v = jax.lax.dynamic_slice_in_dim(vectors_bf16, start, chunk, axis=0)
+        vn = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
+        dots = jax.lax.dot_general(
+            q16, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == Metric.InnerProduct:
+            d = -dots
+        elif metric == Metric.CosineNormalized:
+            d = 1.0 - dots
+        elif metric == Metric.L2:
+            d = jnp.maximum(q_sq[:, None] + vn[None, :] - 2.0 * dots, 0.0)
+        else:  # Cosine
+            denom = jnp.sqrt(jnp.maximum(q_sq[:, None] * vn[None, :], 1e-60))
+            d = 1.0 - dots / denom
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        d = jnp.where(ids >= start_u, d, jnp.inf)
+        # TPU-native approximate top-k per chunk (PartialReduce hardware
+        # path); the f32 rerank below absorbs the ~1% per-chunk misses
+        kk = min(kc, chunk)
+        nd, nidx = jax.lax.approx_min_k(d, kk, recall_target=0.99)
+        nids = jnp.take_along_axis(ids, nidx, axis=1)
+        return merge_sorted(cd, ci, nd, nids, kc)
+
+    cand_d, cand_i = jax.lax.fori_loop(0, num_chunks, body, (cand_d, cand_i))
+
+    # exact rerank of the shortlist, chunked over queries so the gathered
+    # [qc, kc, d] f32 block stays bounded (whole-table-intermediate rule)
+    out_d = jnp.zeros((b, k), jnp.float32)
+    out_i = jnp.zeros((b, k), jnp.int32)
+    n_q = (b + qc - 1) // qc
+
+    def rbody(c, carry):
+        od, oi = carry
+        start = jnp.minimum(c * qc, b - qc)
+        qs = jax.lax.dynamic_slice_in_dim(queries, start, qc, axis=0)
+        cis = jax.lax.dynamic_slice_in_dim(cand_i, start, qc, axis=0)
+        rows = jnp.take(vectors, jnp.maximum(cis, 0), axis=0)
+        rn = jnp.take(sq_norms, jnp.maximum(cis, 0), axis=0)
+        d = distance_to_set(qs, rows, metric, x_sq_norms=rn)
+        d = jnp.where(cis >= 0, d, jnp.inf)
+        order = jnp.argsort(d, axis=1)[:, :k]
+        td = jnp.take_along_axis(d, order, axis=1)
+        ti = jnp.take_along_axis(cis, order, axis=1)
+        od = jax.lax.dynamic_update_slice(od, td, (start, 0))
+        oi = jax.lax.dynamic_update_slice(oi, ti, (start, 0))
+        return od, oi
+
+    return jax.lax.fori_loop(0, n_q, rbody, (out_d, out_i))
 
 
 class FlatIndex:
@@ -90,8 +172,18 @@ class FlatIndex:
         else:
             self.sq_norms = squared_norms(vectors)
 
-    def search(self, queries, k: int, *, chunk: int | None = None):
-        """Exact k-NN. queries: [B, d]. Returns (dists [B,k], ids [B,k]) numpy."""
+    _vectors_bf16 = None
+
+    def search(self, queries, k: int, *, chunk: int | None = None,
+               compute: str = "f32", shortlist: int | None = None):
+        """Exact k-NN. queries: [B, d]. Returns (dists [B,k], ids [B,k]) numpy.
+
+        compute="bf16": shortlist pass at the MXU's native bf16 rate + exact
+        f32 rerank of the top `shortlist` (default max(4k, 64)) candidates —
+        ~4-8x faster than the f32-emulated scan, exact for all practical
+        purposes (see `_flat_search_bf16`).  Keeps a one-time bf16 copy of
+        the database (n*d*2 bytes).  L1 has no matmul form and ignores it.
+        """
         queries = jnp.asarray(queries)
         if chunk is None:
             # ~256MB of distance matrix per chunk at B=10k.
@@ -101,8 +193,23 @@ class FlatIndex:
                 # shaped, so keep chunks small enough to stay in VMEM tiles
                 chunk = min(2048, chunk)
         chunk = min(chunk, self.n)
-        d, i = _flat_search(
-            queries, self.vectors, self.sq_norms,
-            metric=self.metric, k=k, chunk=chunk, n=self.n,
-        )
+        if compute == "bf16" and self.metric != Metric.L1 and self.n >= k:
+            b = queries.shape[0]
+            kc = min(shortlist if shortlist is not None else max(4 * k, 64),
+                     self.n)
+            if self._vectors_bf16 is None:
+                self._vectors_bf16 = self.vectors.astype(jnp.bfloat16)
+            # keep the rerank's gathered [qc, kc, d] f32 block <= ~512MB
+            qc = max(min(b, (1 << 27) // max(kc * self.dim, 1)), 16)
+            qc = min(qc, b)
+            d, i = _flat_search_bf16(
+                queries, self._vectors_bf16, self.vectors, self.sq_norms,
+                metric=self.metric, k=k, kc=kc, chunk=chunk, n=self.n,
+                qc=qc,
+            )
+        else:
+            d, i = _flat_search(
+                queries, self.vectors, self.sq_norms,
+                metric=self.metric, k=k, chunk=chunk, n=self.n,
+            )
         return np.asarray(d), np.asarray(i)

@@ -37,6 +37,33 @@ def test_flat_chunked_matches_unchunked(rng):
     assert overlap >= 4.5
 
 
+@pytest.mark.parametrize(
+    "metric",
+    [Metric.L2, Metric.InnerProduct, Metric.Cosine, Metric.CosineNormalized],
+)
+def test_flat_bf16_shortlist_matches_f32(rng, metric):
+    """bf16 MXU shortlist + exact f32 rerank returns the f32 scan's top-k
+    (the shortlist absorbs bf16's ~2% near-tie mis-rankings)."""
+    x = rng.standard_normal((2000, 48)).astype(np.float32)
+    q = rng.standard_normal((64, 48)).astype(np.float32)
+    if metric == Metric.CosineNormalized:
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    idx = FlatIndex(x, metric)
+    d0, i0 = idx.search(q, k=10)
+    d1, i1 = idx.search(q, k=10, compute="bf16")
+    np.testing.assert_allclose(d1, d0, rtol=1e-3, atol=1e-3)
+    overlap = np.mean([len(np.intersect1d(a, b)) for a, b in zip(i0, i1)])
+    assert overlap >= 9.5
+
+
+def test_flat_bf16_small_n_falls_back(rng):
+    x = rng.standard_normal((7, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    d, i = FlatIndex(x, Metric.L2).search(q, k=10, compute="bf16")
+    assert (i[:, 7:] == -1).all() and (i[:, :7] >= 0).all()
+
+
 def test_flat_k_larger_than_n(rng):
     x = rng.standard_normal((7, 8)).astype(np.float32)
     q = rng.standard_normal((3, 8)).astype(np.float32)
