@@ -110,8 +110,19 @@ class RunbookExecutor:
     def live_tags(self) -> set[int]:
         return set(self.tag_to_id)
 
+    def _sync(self):
+        """Block until the index's enqueued device work is DONE.  Dispatch
+        is async and `block_until_ready` is a no-op on the axon backend
+        (CLAUDE.md), so without fetching a slice each step's wall time only
+        measures enqueue — the previous step's device work then drains
+        inside the NEXT step's wall and per-op rates come out inverted
+        (measured: 50k scan-deletes attributed 2s while the following
+        insert absorbed their ~50s of repair work)."""
+        np.asarray(self.index.state.valid[:1])
+
     def run(self, steps) -> list[dict]:
         steps = parse_runbook(steps)
+        self._sync()  # don't bill pre-existing queue depth to step 0
         for i, step in enumerate(steps):
             op = step["operation"]
             t0 = time.time()
@@ -168,6 +179,7 @@ class RunbookExecutor:
                 entry["recall"] = self._checkpoint_recall()
             else:
                 raise ValueError(f"unknown runbook operation {op!r}")
+            self._sync()
             entry["wall_s"] = round(time.time() - t0, 4)
             self.log.append(entry)
         return self.log
