@@ -82,10 +82,10 @@ def block_patch(table, block_idx, vals, *, interpret: bool = False):
             num_scalar_prefetch=1,                 # block_idx
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # vals
-                pl.BlockSpec(memory_space=pltpu.ANY),   # table
+                pl.BlockSpec(memory_space=pl.ANY),   # vals
+                pl.BlockSpec(memory_space=pl.ANY),   # table
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.SemaphoreType.DMA((INFLIGHT,)),
             ],

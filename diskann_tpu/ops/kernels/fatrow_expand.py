@@ -171,7 +171,7 @@ def fatrow_expand(rows, beam_flat, qiw, *, rp: int, dp: int,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),            # rows (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),               # rows (HBM)
                 qspec, qspec, qspec, qspec,                      # query planes
             ],
             out_specs=[
