@@ -86,7 +86,14 @@ def main():
 
     # persistent compile cache: repeat bench runs (and L-sweep variants)
     # skip the expensive remote TPU compilation
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/diskann_tpu_jax_cache")
+    # repo-local default (gitignored): /tmp is wiped with the VM, and a cold
+    # driver run then pays every remote TPU compile again
+    _repo_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache"
+    )
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.join(_repo_cache, "xla_bench")
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -122,9 +129,10 @@ def main():
 
     # Cache key includes every data-generation parameter so changing the
     # distribution never silently reuses a stale groundtruth file.
+    os.makedirs(_repo_cache, exist_ok=True)
     gt_cache = os.environ.get(
         "BENCH_GT_CACHE",
-        f"/tmp/diskann_bench_gt_s0_c4096_sig0.35_{n}_{nq}_{d}_{k}.npy",
+        f"{_repo_cache}/gt_s0_c4096_sig0.35_{n}_{nq}_{d}_{k}.npy",
     )
     if os.path.exists(gt_cache):
         gt = np.load(gt_cache)
@@ -231,7 +239,7 @@ def main():
     # a stale index built from a different distribution reports garbage recall
     idx_cache = os.environ.get(
         "BENCH_IDX_CACHE",
-        f"/tmp/diskann_bench_idx_s0_c4096_sig0.35_{n}_{d}_R{r_deg}",
+        f"{_repo_cache}/idx_s0_c4096_sig0.35_{n}_{d}_R{r_deg}",
     )
     build_s = None
     if os.environ.get("BENCH_SKIP_BUILD") == "1" and os.path.isdir(idx_cache):

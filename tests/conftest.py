@@ -25,9 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 # next round's) pay XLA compilation once.  Safe on the CPU backend; the
 # per-module clear_caches() below only drops in-process state, so cleared
 # modules re-load from this disk cache instead of recompiling.
+# Default to a repo-local dir (gitignored): /tmp is wiped with the VM,
+# which is exactly when the next cold suite run needs the cache most
+# (observed: the round-4 "cold" 35:49 run re-filled a cache the wipe had
+# emptied).  The repo directory survives wipes.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/diskann_tpu_test_xla_cache"),
+    os.environ.get(
+        "JAX_TEST_CACHE_DIR", os.path.join(_repo, ".cache", "xla_test")
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
