@@ -45,7 +45,8 @@ def _sq_norms_chunked(x, *, chunk: int, n: int):
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "chunk", "n"))
-def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: int, n: int):
+def _flat_search(queries, vectors, sq_norms, valid=None, *, metric: Metric,
+                 k: int, chunk: int, n: int):
     b = queries.shape[0]
     q_sq = squared_norms(queries) if metric.needs_norms else None
 
@@ -66,6 +67,9 @@ def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: i
         d = distance_to_set(queries, v, metric, x_sq_norms=vn, q_sq_norms=q_sq)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         d = jnp.where(ids >= start_u, d, jnp.inf)
+        if valid is not None:
+            vmask = jax.lax.dynamic_slice_in_dim(valid, start, chunk, axis=0)
+            d = jnp.where(vmask[None, :], d, jnp.inf)
         # exact per-chunk top-k first: lax.top_k is a partial reduction,
         # far cheaper than sorting the full [B, chunk+k] concat each chunk
         # (the sort, not the matmul, dominated the unreduced formulation)
@@ -79,7 +83,7 @@ def _flat_search(queries, vectors, sq_norms, *, metric: Metric, k: int, chunk: i
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "kc", "chunk", "n", "qc"))
-def _flat_search_bf16(queries, vectors_bf16, vectors, sq_norms, *,
+def _flat_search_bf16(queries, vectors_bf16, vectors, sq_norms, valid=None, *,
                       metric: Metric, k: int, kc: int, chunk: int, n: int,
                       qc: int):
     """Two-pass exact-after-rerank scan: a bf16 MXU shortlist pass at the
@@ -120,6 +124,9 @@ def _flat_search_bf16(queries, vectors_bf16, vectors, sq_norms, *,
             d = 1.0 - dots / denom
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         d = jnp.where(ids >= start_u, d, jnp.inf)
+        if valid is not None:
+            vmask = jax.lax.dynamic_slice_in_dim(valid, start, chunk, axis=0)
+            d = jnp.where(vmask[None, :], d, jnp.inf)
         # TPU-native approximate top-k per chunk (PartialReduce hardware
         # path); the f32 rerank below absorbs the ~1% per-chunk misses
         kk = min(kc, chunk)
@@ -144,9 +151,16 @@ def _flat_search_bf16(queries, vectors_bf16, vectors, sq_norms, *,
         rn = jnp.take(sq_norms, jnp.maximum(cis, 0), axis=0)
         d = distance_to_set(qs, rows, metric, x_sq_norms=rn)
         d = jnp.where(cis >= 0, d, jnp.inf)
+        if valid is not None:
+            # an invalid row can enter the shortlist (at inf) when live < kc;
+            # without this mask the exact rerank would resurrect it
+            d = jnp.where(
+                jnp.take(valid, jnp.maximum(cis, 0), axis=0), d, jnp.inf
+            )
+        ti0 = jnp.where(jnp.isfinite(d), cis, -1)
         order = jnp.argsort(d, axis=1)[:, :k]
         td = jnp.take_along_axis(d, order, axis=1)
-        ti = jnp.take_along_axis(cis, order, axis=1)
+        ti = jnp.take_along_axis(ti0, order, axis=1)
         od = jax.lax.dynamic_update_slice(od, td, (start, 0))
         oi = jax.lax.dynamic_update_slice(oi, ti, (start, 0))
         return od, oi

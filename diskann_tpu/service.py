@@ -176,7 +176,11 @@ class VectorSet:
     def _search_mode(self, mode: str | None) -> str:
         if mode is not None:
             return mode
-        return self.quant_mode or "full"
+        # no quantizer -> mode="auto": the index routes small sets to the
+        # exact MXU flat scan (measured faster than the walk below the N*d
+        # crossover, BENCH_WIKI100K_r04.json) and large ones to the graph —
+        # the caller never has to choose (VERDICT r4 item 7)
+        return self.quant_mode or "auto"
 
     # VSIM with a query vector
     def search_vector(self, vector, k: int = 10, *,

@@ -315,3 +315,56 @@ def test_filtered_search_packed_production_path(rng):
     )
     got2 = fi2[fi2 >= 0]
     assert got2.size > 0 and rare[got2].all()
+
+
+def test_adaptive_l_compact_retry(rng, monkeypatch):
+    """The packed filtered path's AdaptiveL second pass dispatches ONLY the
+    short queries, compacted into a 64-padded sub-batch (VERDICT r4 item 6;
+    reference AdaptiveL re-searches only the unsatisfied query,
+    `inline_filter_search.rs:63-75`) — and the compacted results scatter
+    back to the right rows."""
+    n, d = 1500, 16
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 20, size=80)] + 0.15 * rng.standard_normal(
+        (80, d)
+    ).astype(np.float32)
+    idx = GraphIndex.build(
+        x, GraphConfig(max_degree=16, l_build=32), insert_batch_size=512,
+        build_mode="packed", packed_dp=16,
+    )
+    rare = rng.random(n) < 0.015
+    rare[:3] = True  # never empty
+    idx.attach_labels([["rare"] if r else ["blue"] for r in rare])
+
+    kw = dict(k=5, l_search=32, mode="packed", scan_threshold=0)
+    fd0, fi0, _ = idx.search_filtered(q, "rare", adaptive_l=False, **kw)
+    short = (fi0 >= 0).sum(axis=1) < 5
+    s = int(short.sum())
+    assert 0 < s, "test shape no longer produces short queries"
+
+    calls = []
+    orig = GraphIndex._composed_filtered_fn
+
+    def spy(self, accept_fn, k, l_cur, *args, **kwargs):
+        fn = orig(self, accept_fn, k, l_cur, *args, **kwargs)
+
+        def wrapped(q_wire, *rest):
+            calls.append((l_cur, int(q_wire.shape[0])))
+            return fn(q_wire, *rest)
+
+        return wrapped
+
+    monkeypatch.setattr(GraphIndex, "_composed_filtered_fn", spy)
+    fd, fi, _ = idx.search_filtered(q, "rare", adaptive_l=True, **kw)
+    ls = sorted({l for l, _ in calls})
+    assert len(ls) == 2, calls  # one widened retry happened
+    pass1_rows = sum(r for l, r in calls if l == ls[0])
+    pass2_rows = sum(r for l, r in calls if l == ls[1])
+    assert pass1_rows == -(-80 // 64) * 64
+    assert pass2_rows == -(-s // 64) * 64, (s, calls)  # ∝ short count
+    # satisfied pass-1 rows untouched; retried rows still honor the filter
+    np.testing.assert_array_equal(fi[~short], fi0[~short])
+    got = fi[fi >= 0]
+    assert got.size > 0 and rare[got].all()

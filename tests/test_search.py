@@ -257,3 +257,43 @@ def test_start_point_strategies(rng):
     with pytest.raises(ValueError, match="unknown start strategy"):
         idx.set_start_strategy("nope")
     idx.set_start_strategy()  # back to the default
+
+
+def test_search_mode_auto_routes_flat_then_graph(rng):
+    """mode="auto" (VERDICT r4 item 7): below the N*d crossover the search
+    routes to the exact masked MXU flat scan (hops==0, exact results, deleted
+    ids never surface); forcing the crossover to 0 routes the same call to
+    the graph walk.  Reference analogue: the standalone FlatIndex
+    (`diskann/src/flat/mod.rs:6-30`)."""
+    import diskann_tpu.graph.index as gidx
+    from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+
+    n, d = 1200, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((40, d)).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512)
+    dead = rng.choice(n, size=60, replace=False)
+    idx.delete(dead)
+
+    fd, fi, stats = idx.search(q, 10, mode="auto")
+    assert (stats.hops == 0).all()          # flat path marker
+    assert not np.isin(fi, dead).any()
+    live = np.setdiff1d(np.arange(n), dead)
+    gt_d = ((q[:, None, :] - x[None, live, :]) ** 2).sum(-1)
+    gt = live[np.argsort(gt_d, axis=1)[:, :10]]
+    np.testing.assert_array_equal(np.sort(fi, 1), np.sort(gt, 1))
+    np.testing.assert_allclose(
+        fd, np.sort(gt_d, axis=1)[:, :10], rtol=1e-3, atol=1e-3
+    )
+
+    # force the graph side of the router
+    old = gidx.FLAT_AUTO_CROSSOVER
+    gidx.FLAT_AUTO_CROSSOVER = 0
+    try:
+        _, fi2, stats2 = idx.search(q, 10, mode="auto", l_search=48)
+    finally:
+        gidx.FLAT_AUTO_CROSSOVER = old
+    assert (stats2.hops > 0).any()          # walked the graph
+    from diskann_tpu.bench.recall import knn_recall
+    assert knn_recall(fi2, gt, 10) >= 0.9
