@@ -312,6 +312,10 @@ def main():
     # round-3 row) — the scored config is the best-known operating point.
     idx.unroll_hops = os.environ.get("BENCH_UNROLL", "1") == "1"
     idx.router_compute = os.environ.get("BENCH_RCOMP", "bf16")
+    # BENCH_MTRUNC: pre-top_k hop candidates to L before the merge sort —
+    # shrinks the dominant non-DMA sort from L+W*R to 2L columns (exact up
+    # to equal-distance tie order).  Default ON (round 5).
+    idx.merge_trunc = os.environ.get("BENCH_MTRUNC", "1") == "1"
     l_sweep = tuple(
         int(v) for v in os.environ.get(
             "BENCH_LS",
@@ -329,6 +333,12 @@ def main():
     # the fastest timing (recall is deterministic) so one contended window
     # doesn't misreport the whole sweep
     reps = int(os.environ.get("BENCH_REPS", 2))
+    # probe-gated sweep points: a point whose bracketing probe is dirty
+    # (chip time-shared during the reps) re-queues up to BENCH_POINT_RETRY
+    # times — one contended window must not misreport a sweep point 1.9x
+    # off its neighbors (round-4 artifact showed exactly that)
+    point_retries = int(os.environ.get("BENCH_POINT_RETRY", 2))
+    probe_clean_s = float(os.environ.get("BENCH_PROBE_CLEAN", 3.0))
     for l in l_sweep:
         try:
             with _Watchdog(1500, f"search sweep point L={l}"):
@@ -336,16 +346,23 @@ def main():
                            rerank_l=rerank_l,
                            query_dtype=query_dtype, router_starts=rstarts,
                            max_hops=max_hops)  # compile at full batch shape
-                rep_dts = []
-                for _ in range(max(reps, 1)):
-                    t0 = time.time()
-                    _, ids, stats = idx.search(qn, k, l_search=l, mode=mode,
-                                               beam_width=sw,
-                                               rerank_l=rerank_l,
-                                               max_hops=max_hops,
-                                               query_dtype=query_dtype,
-                                               router_starts=rstarts)
-                    rep_dts.append(time.time() - t0)
+                rep_dts, point_probes = [], []
+                for attempt in range(point_retries + 1):
+                    for _ in range(max(reps, 1)):
+                        t0 = time.time()
+                        _, ids, stats = idx.search(qn, k, l_search=l,
+                                                   mode=mode,
+                                                   beam_width=sw,
+                                                   rerank_l=rerank_l,
+                                                   max_hops=max_hops,
+                                                   query_dtype=query_dtype,
+                                                   router_starts=rstarts)
+                        rep_dts.append(time.time() - t0)
+                    point_probes.append(_probe())
+                    if point_probes[-1] <= probe_clean_s:
+                        break
+                    LOG(f"[bench] L={l}: probe {point_probes[-1]}s dirty; "
+                        f"re-queueing point (attempt {attempt + 1})")
                 dt = min(rep_dts)
         except TimeoutError as te:
             # wedged relay: report what the sweep has so far rather than
@@ -355,9 +372,10 @@ def main():
         r = knn_recall(ids, gt, k)
         qps = nq / dt
         sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps),
-                      "rep_spread": [round(nq / t) for t in rep_dts]})
+                      "rep_spread": [round(nq / t) for t in rep_dts],
+                      "probe_s": point_probes})
         LOG(f"[bench] L={l}: recall@{k}={r:.4f} qps={qps:.0f} "
-            f"hops={stats.hops.mean():.0f}")
+            f"hops={stats.hops.mean():.0f} probes={point_probes}")
         if r >= target_recall and (best is None or qps > best[1]):
             best = (l, qps, r)
             _LAST_GOOD.clear()

@@ -1050,6 +1050,10 @@ class GraphIndex:
     #: Statically unroll the composed hop loop (kills the ~0.5ms/iteration
     #: lax-loop scheduling floor; trades compile time).  Compose-cache keyed.
     unroll_hops: bool = False
+    #: Pre-top_k hop candidates to the list width before the merge sort
+    #: (shrinks the dominant non-DMA sort from l+W*R to 2l columns; exact up
+    #: to equal-distance tie order).  Compose-cache keyed.
+    merge_trunc: bool = True
 
     def _composed_quant_fn(self, mode, k, l, w, rl, mh, wire,
                            use_router, router_starts=None):
@@ -1066,7 +1070,7 @@ class GraphIndex:
         # closure baked the old layout's shapes
         key = (mode, k, l, w, rl, mh, wire, use_router,
                router_starts, self.config, expand_r, sdef0.name,
-               self.router_compute, self.unroll_hops)
+               self.router_compute, self.unroll_hops, self.merge_trunc)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -1093,6 +1097,7 @@ class GraphIndex:
         )
         router_compute = self.router_compute
         unroll = self.unroll_hops
+        mtrunc = self.merge_trunc
 
         @jax.jit
         def run(q_wire, sdata, adjacency, vectors, sq_norms, valid,
@@ -1117,7 +1122,7 @@ class GraphIndex:
                 sdef, sdata, adjacency, st, q,
                 l_search=l, beam_width=w, max_hops=mh_eff,
                 history_capacity=hist, dedup=dedup, expand_r=expand_r,
-                unroll=unroll,
+                unroll=unroll, merge_trunc=mtrunc,
             )
             fd, fi = _rerank(
                 res.ids[:, :rl_eff], q, vectors, sq_norms, valid, metric, k
@@ -1197,7 +1202,7 @@ class GraphIndex:
         sdef, _, _ = self._scorer_for_mode("packed")
         key = ("filtered", accept_fn, k, l, w, mh, beta, rl, wire,
                use_router, n_start, self.config, sdef.name,
-               self.router_compute, self.unroll_hops)
+               self.router_compute, self.unroll_hops, self.merge_trunc)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -1209,6 +1214,7 @@ class GraphIndex:
         expand_r = self.packed.r_pack
         router_compute = self.router_compute
         unroll = self.unroll_hops
+        mtrunc = self.merge_trunc
 
         @jax.jit
         def run(q_wire, sdata, adjacency, bits, vectors, sq_norms, valid,
@@ -1228,7 +1234,7 @@ class GraphIndex:
                 l_search=l, beam_width=w, max_hops=mh,
                 history_capacity=hist, dedup="list", expand_r=expand_r,
                 accept_fn=accept_fn, accept_data=bits, filter_beta=beta,
-                unroll=unroll,
+                unroll=unroll, merge_trunc=mtrunc,
             )
             fd, fi = _rerank(
                 res.match_i[:, :rl], q, vectors, sq_norms, valid, metric, k

@@ -190,6 +190,7 @@ def grow_resume_state(st: ResumeState, l_total: int,
         "reseed_ring",
         "unroll",
         "diverse_l",
+        "merge_trunc",
     ),
 )
 def beam_search_scored(
@@ -219,6 +220,7 @@ def beam_search_scored(
     unroll: bool = False,  # statically unroll the hop loop (small max_hops)
     diverse_attrs: jax.Array | None = None,  # [cap] i32 attribute per point
     diverse_l: int = 0,        # per-attribute quota in the navigation list
+    merge_trunc: bool = False,  # pre-top_k candidates to l before the merge
 ) -> SearchResult:
     """Batched greedy beam search with a pluggable distance scorer.
 
@@ -595,6 +597,18 @@ def beam_search_scored(
                 cd = _beta_bias(cd, acc, filter_beta)
         else:
             match_d, match_i = st.match_d, st.match_i
+
+        # ---- 4c. pre-truncate candidates to the list width (merge_trunc) ----
+        # At most l candidates can enter the l-deep best list, so merging
+        # more than the l CLOSEST candidates is pure sort width: top_k here
+        # shrinks the merge sort from l+C to 2l operand columns (C = W*R =
+        # 256 vs l ~ 24-40 at the production operating point, where these
+        # merges are the largest non-DMA term).  Exact up to equal-distance
+        # tie order; cmps/match/ring all read the full candidate set above.
+        if merge_trunc and not extra and c > l:
+            negd, ti = jax.lax.top_k(-cd, l)
+            cd = -negd
+            cand_ids = jnp.take_along_axis(cand_ids, ti, axis=1)
 
         # ---- 5. merge into best lists: one multi-operand sort ----
         # (id, expanded) ride ONE i32 word (id*2 | exp) so the merge moves
