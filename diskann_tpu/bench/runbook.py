@@ -91,6 +91,7 @@ class RunbookExecutor:
         k: int = 10,
         l_search: int | None = None,
         delete_method: str = "scan",
+        delete_repair: str = "prune",
         search_kwargs: dict | None = None,
         exact_checkpoints: bool = True,
     ):
@@ -100,6 +101,7 @@ class RunbookExecutor:
         self.k = k
         self.l_search = l_search
         self.delete_method = delete_method
+        self.delete_repair = delete_repair
         self.search_kwargs = dict(search_kwargs or {})
         self.exact_checkpoints = exact_checkpoints
         self.tag_to_id: dict[int, int] = {}   # live tag -> internal id
@@ -143,6 +145,7 @@ class RunbookExecutor:
                     self.index.delete(
                         np.array([self.tag_to_id[t] for t in tags], np.int64),
                         method=self.delete_method,
+                        repair=self.delete_repair,
                     )
                 for t in tags:
                     del self.tag_to_id[t]
@@ -166,6 +169,7 @@ class RunbookExecutor:
                             [self.tag_to_id[t] for t, _ in pairs], np.int64
                         ),
                         method=self.delete_method,
+                        repair=self.delete_repair,
                     )
                     rows = [r for _, r in pairs]
                     ids = self.index.insert(self.data[rows])

@@ -63,30 +63,12 @@ def rows_referencing_deleted(state: GraphArrays) -> jax.Array:
     return dead.any(axis=1) & state.valid
 
 
-@partial(jax.jit, static_argnames=("config", "max_dead", "prune_chunk"))
-def patch_rows(
-    state: GraphArrays,
-    rows: jax.Array,          # [A] i32 row ids to patch (cap = padding)
-    config: GraphConfig,
-    *,
-    max_dead: int = 4,
-    prune_chunk: int = 0,
-    repl_lookup: jax.Array | None = None,  # [cap+1] i32: dead id -> table row
-    repl_table: jax.Array | None = None,   # [D, K] i32 replacement candidates
-) -> GraphArrays:
-    """Patch rows that reference deleted nodes (one batched repair).
-
-    For each row: keep live entries; pull replacement candidates for up to
-    ``max_dead`` deleted entries — from each dead entry's out-list (the
-    one_hop/two_hop policies) or from ``repl_table`` (the visited_topk
-    policy); RobustPrune the union back to R if it exceeds the slack
-    capacity, else keep the union directly (matching
-    `inplace_delete_inner`'s patch-then-maybe-prune, index.rs:1558)."""
+def _kept_and_repl(state, rows, max_dead, repl_lookup, repl_table):
+    """Shared patch front-end: live kept entries + replacement candidates
+    for up to ``max_dead`` deleted entries per row (from the dead entries'
+    out-lists, or from the visited_topk ``repl_table``)."""
     cap = state.capacity
-    r_slack = state.max_degree_slack
-    r = config.max_degree
     a = rows.shape[0]
-
     row_ok = (rows >= 0) & (rows < cap)
     safe_rows = jnp.clip(rows, 0, cap - 1)
     adj = state.adjacency[safe_rows]                              # [A, Rs]
@@ -116,6 +98,35 @@ def patch_rows(
     repl_live = state.valid[jnp.clip(repl, 0, cap - 1)] & (repl >= 0)
     # a replacement must not be the row itself
     repl = jnp.where(repl_live & (repl != rows[:, None]), repl, -1)
+    return row_ok, safe_rows, kept, repl
+
+
+@partial(jax.jit, static_argnames=("config", "max_dead", "prune_chunk"))
+def patch_rows(
+    state: GraphArrays,
+    rows: jax.Array,          # [A] i32 row ids to patch (cap = padding)
+    config: GraphConfig,
+    *,
+    max_dead: int = 4,
+    prune_chunk: int = 0,
+    repl_lookup: jax.Array | None = None,  # [cap+1] i32: dead id -> table row
+    repl_table: jax.Array | None = None,   # [D, K] i32 replacement candidates
+) -> GraphArrays:
+    """Patch rows that reference deleted nodes (one batched repair).
+
+    For each row: keep live entries; pull replacement candidates for up to
+    ``max_dead`` deleted entries — from each dead entry's out-list (the
+    one_hop/two_hop policies) or from ``repl_table`` (the visited_topk
+    policy); RobustPrune the union back to R if it exceeds the slack
+    capacity, else keep the union directly (matching
+    `inplace_delete_inner`'s patch-then-maybe-prune, index.rs:1558)."""
+    cap = state.capacity
+    r_slack = state.max_degree_slack
+    r = config.max_degree
+    a = rows.shape[0]
+    row_ok, safe_rows, kept, repl = _kept_and_repl(
+        state, rows, max_dead, repl_lookup, repl_table
+    )
 
     pool_ids = jnp.concatenate([kept, repl], axis=1)              # [A, C]
     p_vec = state.vectors[safe_rows]
@@ -132,6 +143,67 @@ def patch_rows(
 
     w = jnp.where(row_ok, rows, cap)
     adjacency = state.adjacency.at[w].set(new_rows, mode="drop")
+    degrees = state.degrees.at[w].set(new_n, mode="drop")
+    return state._replace(adjacency=adjacency, degrees=degrees)
+
+
+@partial(jax.jit, static_argnames=("config", "max_dead"))
+def fill_rows(
+    state: GraphArrays,
+    rows: jax.Array,          # [A] i32 row ids to patch (cap = padding)
+    config: GraphConfig,
+    *,
+    max_dead: int = 4,
+    repl_lookup: jax.Array | None = None,
+    repl_table: jax.Array | None = None,
+) -> GraphArrays:
+    """Prune-free patch: drop dead entries, top-up with the NEAREST
+    replacement candidates until the slack capacity.
+
+    This is the reference's actual fast path: ``inplace_delete_inner``
+    splices replacement candidates into the in-neighbor's list and runs
+    RobustPrune only when the list exceeds its slack capacity
+    (index.rs:1558) — rows legitimately live at R*slack between prunes, and
+    the next insert's backedge overflow re-tightens them.  ``patch_rows``
+    prunes every row to R, which costs a ~2R-iteration occlusion
+    lax-loop per dispatch (~0.5ms/iteration fixed floor — the reason
+    scan-repair measured 931 deletes/s at the 1M streaming bench, r04).
+    Here the occlusion scan is replaced by two row-wise sorts:
+    dedup by (id, kept-before-replacement), then rank kept entries first
+    and replacements by distance."""
+    cap = state.capacity
+    r_slack = state.max_degree_slack
+    a = rows.shape[0]
+    row_ok, safe_rows, kept, repl = _kept_and_repl(
+        state, rows, max_dead, repl_lookup, repl_table
+    )
+
+    pool_ids = jnp.concatenate([kept, repl], axis=1)              # [A, C]
+    p_vec = state.vectors[safe_rows]
+    pv = state.vectors[jnp.clip(pool_ids, 0, cap - 1)]
+    pool_d = pairwise_distance(p_vec[:, None, :], pv, config.metric)[:, 0, :]
+    pool_d = jnp.where(pool_ids >= 0, pool_d, jnp.inf).astype(jnp.float32)
+
+    # dedup: lexicographic sort by (id, replacement-flag) — within an
+    # equal-id run the kept entry sorts first and survives
+    is_repl = (
+        jnp.arange(pool_ids.shape[1], dtype=jnp.int32) >= kept.shape[1]
+    )
+    flag = jnp.broadcast_to(is_repl.astype(jnp.int32), pool_ids.shape)
+    sid, sflag, sd = jax.lax.sort((pool_ids, flag, pool_d), num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((a, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1
+    )
+    ok = (sid >= 0) & ~dup & jnp.isfinite(sd)
+    # rank: every kept entry before any replacement (a patch must never
+    # evict a live pruned edge), replacements by ascending distance
+    key = jnp.where(ok, jnp.where(sflag == 0, sd - 1e30, sd), jnp.inf)
+    key, oid = jax.lax.sort((key, sid), num_keys=1)
+    new_ids = jnp.where(jnp.isfinite(key[:, :r_slack]), oid[:, :r_slack], -1)
+    new_n = (new_ids >= 0).sum(axis=1).astype(state.degrees.dtype)
+
+    w = jnp.where(row_ok, rows, cap)
+    adjacency = state.adjacency.at[w].set(new_ids, mode="drop")
     degrees = state.degrees.at[w].set(new_n, mode="drop")
     return state._replace(adjacency=adjacency, degrees=degrees)
 
@@ -166,7 +238,8 @@ def inplace_delete(
     method: str = "scan",
     k_value: int = 16,
     l_value: int | None = None,
-    patch_batch: int = 1024,
+    patch_batch: int = 0,
+    repair: str = "prune",
 ) -> None:
     """Multi in-place delete (index.rs:1338 `multi_inplace_delete`): mark,
     find affected in-neighbor rows per ``method``, patch them in batches,
@@ -175,10 +248,24 @@ def inplace_delete(
     method: "one_hop" | "two_hop_one_hop" | "visited_topk" | "scan"
     ("scan" patches EVERY row referencing a deleted id — a full-graph
     gather is one cheap vectorized pass on TPU, strictly a superset of the
-    reference's approximations)."""
+    reference's approximations).
+
+    repair: "prune" RobustPrunes every patched row back to R;
+    "fill" (reference index.rs:1558 semantics) drops dead entries and
+    tops rows up with nearest replacements to the slack capacity without
+    an occlusion scan — ~5x cheaper per batch (no 2R-iteration lax loop);
+    the next insert's backedge overflow re-prunes.
+
+    patch_batch: rows per repair dispatch (0 = auto: 1024 for "prune",
+    whose per-dispatch cost is the fixed ~2R-iteration occlusion loop;
+    4096 for "fill", whose cost is the [rows, C, d] candidate gather —
+    bigger batches amortize dispatch overhead until the gather transient
+    (~1GB at 4096 x 480 x 128 f32) bounds them)."""
     ids = np.asarray(ids, np.int64)
     st = index.state
     cap = st.capacity
+    if patch_batch <= 0:
+        patch_batch = 4096 if repair == "fill" else 1024
     # the deleted nodes' out-lists, fetched before rows are dropped
     out_lists = np.asarray(
         st.adjacency[jnp.asarray(np.clip(ids, 0, cap - 1), jnp.int32)]
@@ -186,22 +273,33 @@ def inplace_delete(
     index.state = mark_deleted(index.state, jnp.asarray(ids, jnp.int32))
 
     repl_lookup = repl_table = None
+    def _uniq(ids_arr):
+        # membership mask instead of np.unique: unique sorts (O(E log E)
+        # over up to ~100M two-hop entries, tens of seconds on this box);
+        # random bool writes are ~10x cheaper and output sorted ids free
+        m = np.zeros((cap,), bool)
+        flat = ids_arr.ravel()
+        m[flat[flat >= 0]] = True
+        return np.nonzero(m)[0]
+
     if method == "scan":
         affected = np.nonzero(
             np.asarray(rows_referencing_deleted(index.state))
         )[0]
     elif method == "one_hop":
-        cand = np.unique(out_lists[out_lists >= 0])
+        cand = _uniq(out_lists)
         affected = _rows_that_reference_deleted(index.state, cand)
     elif method == "two_hop_one_hop":
-        one_hop = np.unique(out_lists[out_lists >= 0])
+        one_hop = _uniq(out_lists)
         if len(one_hop):
             hop2 = np.asarray(
                 index.state.adjacency[jnp.asarray(one_hop.astype(np.int32))]
             )
-            cand = np.unique(
-                np.concatenate([one_hop, hop2[hop2 >= 0].ravel()])
-            )
+            m = np.zeros((cap,), bool)
+            m[one_hop] = True
+            flat = hop2.ravel()
+            m[flat[flat >= 0]] = True
+            cand = np.nonzero(m)[0]
         else:
             cand = one_hop
         affected = _rows_that_reference_deleted(index.state, cand)
@@ -247,12 +345,13 @@ def inplace_delete(
     else:
         raise ValueError(f"unknown delete method {method!r}")
 
+    repair_fn = {"prune": patch_rows, "fill": fill_rows}[repair]
     for off in range(0, len(affected), patch_batch):
         chunk = affected[off : off + patch_batch].astype(np.int32)
         pad = (-len(chunk)) % patch_batch
         if pad:
             chunk = np.pad(chunk, (0, pad), constant_values=-1)
-        index.state = patch_rows(
+        index.state = repair_fn(
             index.state, jnp.asarray(chunk), index.config,
             repl_lookup=repl_lookup, repl_table=repl_table,
         )

@@ -1051,9 +1051,13 @@ class GraphIndex:
     #: lax-loop scheduling floor; trades compile time).  Compose-cache keyed.
     unroll_hops: bool = False
     #: Pre-top_k hop candidates to the list width before the merge sort
-    #: (shrinks the dominant non-DMA sort from l+W*R to 2l columns; exact up
-    #: to equal-distance tie order).  Compose-cache keyed.
-    merge_trunc: bool = True
+    #: (shrinks the merge sort from l+W*R to 2l columns; exact up to
+    #: equal-distance tie order).  Compose-cache keyed.  Default OFF: the
+    #: round-5 interleaved battery measured it 4.5% SLOWER at the 1M
+    #: operating point (the top_k over W*R=256 columns costs more than the
+    #: wider merge saves; /tmp/r5_battery.json) — kept as a knob because
+    #: the tradeoff flips at large L.
+    merge_trunc: bool = False
 
     def _composed_quant_fn(self, mode, k, l, w, rl, mh, wire,
                            use_router, router_starts=None):
@@ -1529,7 +1533,7 @@ class GraphIndex:
 
     # ----------------------------------------------------------------- delete
     def delete(self, ids, *, method: str = "scan", k_value: int = 16,
-               l_value: int | None = None) -> None:
+               l_value: int | None = None, repair: str = "prune") -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
         Deleted slots go to the freelist for reuse by later inserts.
 
@@ -1537,12 +1541,18 @@ class GraphIndex:
         `diskann/src/graph/misc.rs:27-32`): "one_hop", "two_hop_one_hop",
         "visited_topk" (k_value/l_value), or "scan" (default: full-graph
         repair — one vectorized gather on TPU, a superset of all three
-        reference approximations, so no dangling references survive)."""
+        reference approximations, so no dangling references survive).
+
+        repair selects the patch kernel: "prune" RobustPrunes every patched
+        row back to R; "fill" follows the reference's patch-then-maybe-prune
+        (index.rs:1558): dead entries drop out, nearest replacements top the
+        row up to the slack capacity, no occlusion scan — ~5x cheaper, the
+        streaming production setting."""
         from diskann_tpu.graph.delete import inplace_delete
 
         inplace_delete(
             self, np.asarray(ids), method=method, k_value=k_value,
-            l_value=l_value,
+            l_value=l_value, repair=repair,
         )
         self._invalidate_start()
 

@@ -9,7 +9,8 @@ deletes/s, per-cycle wall times.
 Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
        scripts/bench_stream1m.py > /tmp/stream1m.log 2>&1 &
 Env: STREAM_N (1_000_000), STREAM_CYCLES (10), STREAM_FRAC (0.05),
-     STREAM_DELETE_METHOD (scan | two_hop_one_hop).
+     STREAM_DELETE_METHOD (scan | two_hop_one_hop | visited_topk),
+     STREAM_REPAIR (prune | fill), STREAM_OUT.
 """
 
 import json
@@ -35,9 +36,14 @@ LOG = lambda *a: print("[stream]", *a, file=sys.stderr, flush=True)
 N = int(os.environ.get("STREAM_N", 1_000_000))
 CYCLES = int(os.environ.get("STREAM_CYCLES", 10))
 FRAC = float(os.environ.get("STREAM_FRAC", 0.05))
-METHOD = os.environ.get("STREAM_DELETE_METHOD", "scan")
+METHOD = os.environ.get("STREAM_DELETE_METHOD", "two_hop_one_hop")
+# "fill" = the reference's patch-then-maybe-prune (index.rs:1558): no
+# occlusion loop in the repair dispatch — the r04 scan+prune artifact
+# measured 931 deletes/s, structurally capped by the ~2R-iteration
+# lax-loop floor per 1024-row patch dispatch
+REPAIR = os.environ.get("STREAM_REPAIR", "fill")
 D, NQ, K = 128, 2048, 10
-OUT = "/root/repo/BENCH_STREAM1M_r04.json"
+OUT = os.environ.get("STREAM_OUT", "/root/repo/BENCH_STREAM1M_r05.json")
 
 
 def main():
@@ -78,6 +84,7 @@ def main():
 
     ex = RunbookExecutor(
         idx, x, q, k=K, l_search=90, delete_method=METHOD,
+        delete_repair=REPAIR,
         search_kwargs={"mode": "packed", "query_dtype": np.float16,
                        "max_hops": 9},
     )
@@ -95,7 +102,7 @@ def main():
         steps.append({"operation": "search"})
 
     LOG(f"running {CYCLES} churn cycles of {step} del + {step} ins "
-        f"(method={METHOD})")
+        f"(method={METHOD}, repair={REPAIR})")
     log = ex.run(steps)
 
     recalls = [e["recall"] for e in log if e["operation"] == "search"]
@@ -109,7 +116,7 @@ def main():
         "unit": "recall@10",
         "extra": {
             "n": N, "cycles": CYCLES, "churn_frac": FRAC,
-            "delete_method": METHOD,
+            "delete_method": METHOD, "delete_repair": REPAIR,
             "build_s": round(build_s, 1),
             "inserts_per_s": round(ins_rate),
             "deletes_per_s": round(del_rate),

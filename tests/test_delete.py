@@ -89,6 +89,77 @@ def test_packed_layout_consistent_after_delete(rng):
     assert not np.isin(ids[ids >= 0], dead).any()
 
 
+@pytest.mark.parametrize("method", ["scan", "two_hop_one_hop"])
+def test_fill_repair_invariants(rng, method):
+    """The prune-free "fill" repair (reference index.rs:1558 patch-then-
+    maybe-prune) keeps every adjacency invariant: no dangling refs in
+    patched rows' neighborhoods, no dups, no self-loops, degrees match,
+    rows never exceed the slack capacity."""
+    x, idx, _ = build_clustered(rng, n=1400)
+    dead = rng.choice(len(x), size=250, replace=False)
+    alive = np.setdiff1d(np.arange(len(x)), dead)
+    idx.delete(dead, method=method, repair="fill")
+    assert idx.n_live == len(x) - 250
+    adj = np.asarray(idx.state.adjacency[: idx.n])
+    degs = np.asarray(idx.state.degrees[: idx.n])
+    assert (adj[dead] == -1).all()
+    rs = idx.state.max_degree_slack
+    for i in alive:
+        row = adj[i][adj[i] >= 0]
+        assert len(row) == degs[i], i
+        assert len(row) <= rs
+        assert len(np.unique(row)) == len(row), i  # no dups
+        assert i not in row                        # no self-loop
+    if method == "scan":  # exact affected set -> zero dangling refs
+        live_entries = adj[alive][adj[alive] >= 0]
+        assert not np.isin(live_entries, dead).any()
+    # graph stays searchable at good recall
+    q = x[alive[:60]] + 0.02
+    _, ids, _ = idx.search(q, k=10, l_search=48)
+    assert not np.isin(ids[ids >= 0], dead).any()
+    flat = FlatIndex(x[alive], Metric.L2)
+    _, gt_i = flat.search(q, k=10)
+    assert knn_recall(ids, alive[gt_i], 10) >= 0.85
+
+
+def test_fill_repair_churn_stability(rng):
+    """Repeated delete/insert churn with the fill repair: recall must not
+    decay (the fill rows re-tighten through insert backedge prunes)."""
+    n, d = 1000, 16
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+
+    def make(m):
+        a = rng.integers(0, 20, size=m)
+        return (centers[a] + 0.15 * rng.standard_normal((m, d))).astype(
+            np.float32
+        )
+
+    x = make(n)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=256)
+    live = {i: x[i] for i in range(n)}
+    recalls = []
+    for cycle in range(6):
+        ids_live = np.array(sorted(live))
+        kill = rng.choice(ids_live, size=len(ids_live) // 4, replace=False)
+        idx.delete(kill, method="scan", repair="fill")
+        for i in kill:
+            del live[i]
+        newv = make(len(kill))
+        slots = idx.insert(newv)
+        for j, s in enumerate(slots):
+            live[int(s)] = newv[j]
+        ids_live = np.array(sorted(live))
+        lv = np.stack([live[i] for i in ids_live])
+        q = lv[rng.choice(len(lv), size=50, replace=False)] + 0.02
+        flat = FlatIndex(lv, Metric.L2)
+        _, gt_i = flat.search(q, k=10)
+        _, got, _ = idx.search(q, k=10, l_search=48)
+        recalls.append(knn_recall(got, ids_live[gt_i], 10))
+    assert min(recalls) >= 0.85, recalls
+    assert np.mean(recalls[3:]) >= np.mean(recalls[:3]) - 0.05, recalls
+
+
 @pytest.mark.parametrize(
     "method", ["one_hop", "two_hop_one_hop", "visited_topk"]
 )
