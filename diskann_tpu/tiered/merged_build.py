@@ -94,23 +94,44 @@ def _edge_lengths_jit(vectors, sq_norms, adjacency, *, chunk: int):
     return jax.lax.fori_loop(0, num_chunks, body, out)
 
 
-def _merge_rows(ids_a, d_a, ids_b, d_b, cap: int):
+_RANK_PAD = 2**30   # rank sentinel for empty slots
+
+
+def _merge_rows(ids_a, r_a, d_a, ids_b, r_b, d_b, cap: int):
     """Vectorized host merge of two edge lists per row: dedup by id (keep
-    min length), drop self/-1, sort ascending by length, keep `cap`."""
+    min rank), drop self/-1, RANK-INTERLEAVE (sort by each edge's position
+    in its source shard's RobustPrune output, exact length as tiebreak),
+    keep `cap`.
+
+    Rank-interleaving — the reference's merge semantics (`core.rs:66`
+    alternates shard edge lists) — preserves each shard's alpha-diversity
+    ordering.  Ranking by raw length instead collapses when 3+ lists merge:
+    the globally-shortest `cap` edges cluster on one side of the node
+    (measured: overlap=3 recall 0.81 vs 0.96 for overlap=2 on the same
+    data with the length-ranked merge; rank-interleaved restores it).
+    Returns (ids, ranks, lengths) so a row seen by 3+ shards (overlap > 2)
+    folds each new shard's list into its running merge."""
     ids = np.concatenate([ids_a, ids_b], axis=1)          # [M, 2Rs]
+    rs = np.concatenate([r_a, r_b], axis=1)
     ds = np.concatenate([d_a, d_b], axis=1)
     ds = np.where(ids >= 0, ds, np.inf)
-    # sort by (id, dist) so duplicate ids land adjacent, min-dist first
-    order = np.lexsort((ds, ids), axis=1)
+    rs = np.where(ids >= 0, rs, _RANK_PAD)
+    # sort by (id, rank, dist) so duplicate ids land adjacent, best first
+    order = np.lexsort((ds, rs, ids), axis=1)
     ids = np.take_along_axis(ids, order, axis=1)
+    rs = np.take_along_axis(rs, order, axis=1)
     ds = np.take_along_axis(ds, order, axis=1)
     dup = np.zeros_like(ids, bool)
     dup[:, 1:] = ids[:, 1:] == ids[:, :-1]
-    ds = np.where(dup | (ids < 0), np.inf, ds)
-    order = np.argsort(ds, axis=1, kind="stable")[:, :cap]
+    invalid = dup | (ids < 0)
+    ds = np.where(invalid, np.inf, ds)
+    rs = np.where(invalid, _RANK_PAD, rs)
+    # interleave: rank first, exact length breaks rank ties across shards
+    order = np.lexsort((ds, rs), axis=1)[:, :cap]
     ids = np.take_along_axis(ids, order, axis=1)
+    rs = np.take_along_axis(rs, order, axis=1)
     ds = np.take_along_axis(ds, order, axis=1)
-    return np.where(np.isfinite(ds), ids, -1)
+    return np.where(np.isfinite(ds), ids, -1), rs, ds
 
 
 def _pad_cols(a: np.ndarray, width: int, fill) -> np.ndarray:
@@ -141,6 +162,8 @@ def build_merged(
     codes: str = "packed",
     pq_chunks: int = 32,
     pq_centers: int = 256,
+    adj_width: int | None = None,
+    checkpoint_dir: str | None = None,
     **build_kw,
 ) -> TieredIndex:
     """Build a `TieredIndex` for a dataset whose build does not fit HBM.
@@ -161,6 +184,20 @@ def build_merged(
     shape (`disk_provider.rs:634-654`) for 100M-class datasets
     (pq_centers=16 selects 4-bit PQ with the fused masked-reduction ADC,
     orders faster per hop than 8-bit LUT gathers at equal code bytes).
+
+    adj_width: store the merged adjacency truncated to this many columns
+    (default r_slack).  The merged tier is read-only, so the slack columns
+    — backedge headroom the builder needed — are pure HBM waste at search
+    time: at 50M x R=40, [N, r_slack=52] i32 is 10.4GB vs 8GB truncated.
+    Rows are truncated in rank order (the shard prune's selection order),
+    so what drops is exactly the lowest-priority slack edges.
+
+    checkpoint_dir: make the multi-hour sharded build resumable — the
+    merge arrays live in memmapped .npy files there, and a progress file
+    records completed shards; a restarted build with the same arguments
+    skips them (the k-means seed makes the partition deterministic).  The
+    relay to the shared chip has wedged for hours at a time (CLAUDE.md);
+    an 80-shard build must survive that.
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -199,9 +236,41 @@ def build_merged(
 
     # ---- per-shard build; merge into the global adjacency as we go ----
     cap = max(n, insert_batch_size)
-    merged = np.full((n, r_slack), -1, np.int32)
-    merged_d = np.full((n, r_slack), np.inf, np.float32)
-    seen = np.zeros((n,), bool)
+    done_shards: set[int] = set()
+    if checkpoint_dir:
+        import os
+
+        from numpy.lib.format import open_memmap
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        prog_path = os.path.join(checkpoint_dir, "shards_done.txt")
+        fresh_ckpt = not os.path.exists(
+            os.path.join(checkpoint_dir, "merged.npy")
+        )
+
+        def _mm(name, dtype, shape, fill):
+            p = os.path.join(checkpoint_dir, name)
+            if fresh_ckpt:
+                a = open_memmap(p, mode="w+", dtype=dtype, shape=shape)
+                a[:] = fill
+            else:
+                a = open_memmap(p, mode="r+")
+                assert a.shape == shape, (name, a.shape, shape)
+            return a
+
+        merged = _mm("merged.npy", np.int32, (n, r_slack), -1)
+        merged_r = _mm("merged_r.npy", np.int32, (n, r_slack), _RANK_PAD)
+        merged_d = _mm("merged_d.npy", np.float32, (n, r_slack), np.inf)
+        seen = _mm("seen.npy", bool, (n,), False)
+        if not fresh_ckpt and os.path.exists(prog_path):
+            with open(prog_path) as f:
+                done_shards = {int(v) for v in f.read().split()}
+            log(f"resuming: shards {sorted(done_shards)} already merged")
+    else:
+        merged = np.full((n, r_slack), -1, np.int32)
+        merged_r = np.full((n, r_slack), _RANK_PAD, np.int32)
+        merged_d = np.full((n, r_slack), np.inf, np.float32)
+        seen = np.zeros((n,), bool)
     # uniform per-shard capacity: every shard's arrays share ONE shape so
     # the remote-compiled build/search kernels are reused across all shards
     # (per-shard shapes would recompile the whole pipeline every shard)
@@ -211,6 +280,8 @@ def build_merged(
     shard_cap = -(-max(shard_sizes + [insert_batch_size])
                   // insert_batch_size) * insert_batch_size
     for s in range(n_shards):
+        if s in done_shards:
+            continue
         rows = np.nonzero((assign == s).any(axis=1))[0].astype(np.int64)
         if rows.size == 0:
             continue
@@ -233,21 +304,33 @@ def build_merged(
                               -1).astype(np.int32)
         old = seen[rows]
         fresh = rows[~old]
+        # an edge's rank = its position in this shard's RobustPrune output
+        ranks = np.broadcast_to(
+            np.arange(adj_global.shape[1], dtype=np.int32), adj_global.shape
+        )
+        ranks = np.where(adj_global >= 0, ranks, _RANK_PAD)
         merged[fresh] = adj_global[~old]
+        merged_r[fresh] = ranks[~old]
         merged_d[fresh] = lengths[~old]
         both = rows[old]
         if both.size:
-            if overlap > 2:
-                # a 3rd merge would need the kept edges' lengths re-derived
-                raise NotImplementedError("overlap > 2 is not supported")
-            merged[both] = _pad_cols(
-                _merge_rows(
-                    merged[both], merged_d[both],
-                    adj_global[old], lengths[old], config.max_degree,
-                ),
-                r_slack, -1,
+            # pairwise merge, repeated once per extra shard a row belongs
+            # to (overlap > 2, partition.rs:23): each new shard's list
+            # folds into the row's running (ids, ranks, lengths)
+            mi, mr, md = _merge_rows(
+                merged[both], merged_r[both], merged_d[both],
+                adj_global[old], ranks[old], lengths[old],
+                config.max_degree,
             )
+            merged[both] = _pad_cols(mi, r_slack, -1)
+            merged_r[both] = _pad_cols(mr, r_slack, _RANK_PAD)
+            merged_d[both] = _pad_cols(md, r_slack, np.inf)
         seen[rows] = True
+        if checkpoint_dir:
+            for a in (merged, merged_r, merged_d, seen):
+                a.flush()
+            with open(prog_path, "a") as f:
+                f.write(f"{s}\n")
         log(f"shard {s}: built {ns} pts, merged")
 
     # ---- assemble the tiered graph shell (vectors stay host-side) ----
@@ -267,7 +350,9 @@ def build_merged(
     graph._cached_start = None
     graph._auto_start = None
     graph._router_ids = None
-    adj_dev = jnp.asarray(np.pad(merged, ((0, cap - n), (0, 0)),
+    aw = min(adj_width or r_slack, r_slack)
+    adj_host = merged[:, :aw]   # rank-ordered rows: slice keeps the best aw
+    adj_dev = jnp.asarray(np.pad(adj_host, ((0, cap - n), (0, 0)),
                                  constant_values=-1))
     valid = np.zeros((cap,), bool)
     valid[:n] = True
@@ -276,7 +361,7 @@ def build_merged(
         sq_norms=jnp.zeros((1,), jnp.float32),
         adjacency=adj_dev,
         degrees=jnp.pad(
-            jnp.asarray((merged >= 0).sum(axis=1).astype(np.int32)),
+            jnp.asarray((adj_host >= 0).sum(axis=1).astype(np.int32)),
             (0, cap - n),
         ),
         valid=jnp.asarray(valid),
@@ -324,7 +409,7 @@ def build_merged(
         # ---- packed fat-row codes, chunk-encoded from host ----
         proj, pscale, pbias2 = packed_mod.train_packed(sample, min(dp, dim),
                                                        config.metric)
-        packed = packed_mod.alloc_packed(proj, pscale, pbias2, cap, r_slack)
+        packed = packed_mod.alloc_packed(proj, pscale, pbias2, cap, aw)
         chunk = 1 << 17
         prev_sync = None  # one-behind barrier: unsynced donated-update
         # loops enqueue every chunk's transients at once and OOM (CLAUDE.md)

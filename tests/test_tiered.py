@@ -222,6 +222,78 @@ def test_merged_build_over_budget(rng):
     assert knn_recall(ids, gt_i, 10) >= 0.88
 
 
+def test_merged_build_overlap3(rng):
+    """overlap=3 (partition.rs:23 allows any overlap): each extra shard a
+    row belongs to folds into its running (ids, lengths) via one more
+    pairwise merge.  Invariants hold and recall is >= the overlap-2 build
+    on the same data."""
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 3000, 24
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    a = rng.integers(0, 24, size=n)
+    x = centers[a] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 24, size=40)] + 0.25 * rng.standard_normal(
+        (40, d)
+    ).astype(np.float32)
+    gt_i = FlatIndex(x, Metric.L2).search(q, k=10)[1]
+
+    recalls = {}
+    for ov in (2, 3):
+        t = build_merged(
+            x, GraphConfig(max_degree=16, l_build=32), n_shards=4, dp=16,
+            insert_batch_size=512, seed=3, overlap=ov,
+        )
+        adj = np.asarray(t.graph.state.adjacency[:n])
+        assert not (adj == np.arange(n)[:, None]).any()
+        srt = np.sort(np.where(adj < 0, 2**31 - 1, adj), axis=1)
+        dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] < 2**31 - 1)
+        assert not dup.any()
+        np.testing.assert_array_equal(
+            np.asarray(t.graph.state.degrees[:n]), (adj >= 0).sum(axis=1)
+        )
+        _, ids, _ = t.search(q, k=10, l_search=48)
+        recalls[ov] = knn_recall(ids, gt_i, 10)
+    # more overlap = more merge passes = a denser, no-worse graph
+    assert recalls[3] >= recalls[2] - 0.02, recalls
+
+
+def test_merged_build_adj_width_and_checkpoint(rng, tmp_path):
+    """adj_width truncates the read-only merged adjacency to its best
+    (rank-ordered) columns — the >HBM tier's 50M memory lever; and
+    checkpoint_dir makes the sharded build resumable: a second run with
+    the same arguments skips completed shards and reproduces the SAME
+    adjacency (the k-means partition is seed-deterministic)."""
+    from diskann_tpu.tiered.merged_build import build_merged
+
+    n, d = 2500, 24
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 2
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.25 * rng.standard_normal((n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 20, size=30)] + 0.25 * rng.standard_normal(
+        (30, d)
+    ).astype(np.float32)
+    ck = str(tmp_path / "ckpt")
+    kw = dict(n_shards=3, dp=16, insert_batch_size=512, seed=3,
+              adj_width=12, checkpoint_dir=ck)
+    t = build_merged(x, GraphConfig(max_degree=12, l_build=24), **kw)
+    adj1 = np.asarray(t.graph.state.adjacency[:n])
+    assert adj1.shape[1] == 12          # truncated to adj_width
+    degs = np.asarray(t.graph.state.degrees[:n])
+    np.testing.assert_array_equal(degs, (adj1 >= 0).sum(axis=1))
+    gt_i = FlatIndex(x, Metric.L2).search(q, k=10)[1]
+    _, ids, _ = t.search(q, k=10, l_search=40)
+    assert knn_recall(ids, gt_i, 10) >= 0.85
+    # resume: all shards recorded done -> rebuild skips every device build
+    # and assembles the identical adjacency from the memmapped merge state
+    done = (tmp_path / "ckpt" / "shards_done.txt").read_text().split()
+    assert len(done) == 3
+    t2 = build_merged(x, GraphConfig(max_degree=12, l_build=24), **kw)
+    np.testing.assert_array_equal(
+        adj1, np.asarray(t2.graph.state.adjacency[:n])
+    )
+
+
 def test_merged_build_sq_codes_router(rng, tmp_path):
     """codes="sq" merged build (full-dim int8 traversal — the 20M-tier
     representation) + router entry points + the ONE-dispatch composed
