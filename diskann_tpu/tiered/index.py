@@ -284,39 +284,94 @@ class TieredIndex:
         beam_width: int = 4,
         rerank_l: int | None = None,
         mode: str | None = None,
+        max_hops: int | None = None,
+        router_starts: int | None = None,
+        query_dtype=None,
+        row_wire=np.float32,
+        batch_size: int | None = None,
     ):
-        """Quantized traversal + host-staged full-precision rerank."""
-        from diskann_tpu.graph.search import beam_search_scored
+        """Quantized traversal + host-staged full-precision rerank.
 
+        Since round 5 this IS the composed pipelined path (`search_batched`
+        with production defaults): one device program per sub-batch (router
+        entry points when attached + quantized traversal + id pack),
+        async host staging overlapping the next sub-batch's traversal.
+        The r4 artifact measured the old multi-dispatch path far off the
+        `search_batched` operating point; there is no reason to keep two."""
         g = self.graph
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
-        l = l_search or max(k, g.config.l_build)
-        _, sdef, sdata, expand_r, dedup = self._traversal_scorer(mode)
-        res = beam_search_scored(
-            sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
-            l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-            history_capacity=g.config.history_capacity(l),
-            dedup=dedup, expand_r=expand_r,
+        if router_starts is None:
+            router_starts = 4 if self._router_ids is not None else 0
+        bs = batch_size or getattr(g, "search_batch_size", None) or 4096
+        return self.search_batched(
+            queries, k, batch_size=bs, l_search=l_search,
+            beam_width=beam_width, rerank_l=rerank_l, mode=mode,
+            max_hops=max_hops, router_starts=router_starts,
+            query_dtype=query_dtype, row_wire=row_wire,
         )
-        ids = np.asarray(res.ids)
-        # ---- stage full rows from host RAM (IO budget applied) ----
-        budget = min(self.io_limit or l, rerank_l or l, l)
-        stage_ids = ids[:, :budget]
-        t0 = time.time()
-        rows = self.store.fetch(stage_ids.reshape(-1)).reshape(
-            ids.shape[0], budget, -1
-        )
-        dev_rows = jnp.asarray(rows)
-        self.io_stats["rows_staged"] += int(stage_ids.size)
-        self.io_stats["stage_s"] += time.time() - t0
 
-        d, i = _tiered_rerank(
-            jnp.asarray(queries), dev_rows, jnp.asarray(stage_ids),
-            g.state.valid, g.config.metric, k,
-        )
-        return np.asarray(d), np.asarray(i), res
+    _filtered_compose_cache: dict | None = None
+
+    def _composed_filtered_fn(self, accept_fn, l: int, w: int, mh: int,
+                              budget: int, n_start: int, wire: str | None,
+                              beta: float, method: str):
+        """ONE jitted program per filtered-search config: device upcast +
+        router top-k + packed traversal with the inline beta filter
+        (matched-only list at quantized distances) + match-id pack.  Same
+        two-dispatch shape as the unfiltered composed path; the exact
+        rerank runs over the staged matched rows (RerankAndFilter,
+        `disk_provider.rs:292`)."""
+        from diskann_tpu.graph.search import beam_search_scored
+
+        g = self.graph
+        sdef, _, expand_r = g._scorer_for_mode("packed")
+        key = ("filtered", accept_fn, l, w, mh, budget, n_start, wire,
+               beta, method, g.config, sdef.name)
+        if self._filtered_compose_cache is None:
+            self._filtered_compose_cache = {}
+        fn = self._filtered_compose_cache.get(key)
+        if fn is not None:
+            return fn
+        cfg = g.config
+        metric = cfg.metric
+        hist = cfg.history_capacity(l)
+
+        @jax.jit
+        def run(q_wire, sdata, adjacency, bits, router_ids, router_rows,
+                start):
+            q = q_wire.astype(jnp.float32)
+            if n_start > 0:
+                qi, qscale, qsq = sdef.prep(sdata, q)
+                rc, raux = router_rows
+                dots = jax.lax.dot_general(
+                    qi, rc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * qscale[:, None]
+                if metric == Metric.InnerProduct:
+                    d = -dots
+                else:
+                    d = qsq[:, None] + raux[None, :] - 2.0 * dots
+                _, top = jax.lax.top_k(-d, n_start)
+                st = router_ids[top]
+            else:
+                st = start
+            res = beam_search_scored(
+                sdef, sdata, adjacency, st, q,
+                l_search=l, beam_width=w, max_hops=mh,
+                history_capacity=hist, dedup="list", expand_r=expand_r,
+                accept_fn=accept_fn, accept_data=bits, filter_beta=beta,
+                filter_mode=method,
+            )
+            return jnp.concatenate(
+                [res.match_i[:, :budget], res.cmps[:, None],
+                 res.hops[:, None]],
+                axis=1,
+            )
+
+        self._filtered_compose_cache[key] = run
+        return run
 
     def search_filtered(
         self,
@@ -328,16 +383,24 @@ class TieredIndex:
         beam_width: int = 4,
         filter_beta: float | None = None,
         method: str = "inline",
+        max_hops: int | None = None,
+        router_starts: int | None = None,
+        query_dtype=None,
+        row_wire=np.float32,
+        batch_size: int | None = None,
     ):
         """Label-filtered tiered search: packed int8 traversal with the
         inline beta filter (matched-only list collected at quantized
         distances), then the matched rows stage from host RAM for an EXACT
         rerank — the disk provider's RerankAndFilter flow
         (`disk_provider.rs:292`) on the HBM/host tiers.  Requires labels
-        attached on the underlying graph."""
+        attached on the underlying graph.
+
+        Runs the same composed-program + async-staging pipeline as the
+        unfiltered path (round-5 unification): router entry points when
+        attached, ONE traversal dispatch per sub-batch, batch i's staging
+        and exact rerank overlapping batch i+1's traversal."""
         from diskann_tpu.filters import compile_accept, parse_predicate
-        from diskann_tpu.graph.scorers import packed_scorer
-        from diskann_tpu.graph.search import beam_search_scored
 
         g = self.graph
         if getattr(g, "labels", None) is None:
@@ -350,31 +413,79 @@ class TieredIndex:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        b = queries.shape[0]
         l = l_search or max(k, g.config.l_build)
-        sdef, sdata = packed_scorer(g.packed, g.config.metric)
-        res = beam_search_scored(
-            sdef, sdata, g.state.adjacency, g._start(), jnp.asarray(queries),
-            l_search=l, beam_width=beam_width, max_hops=g.config.max_hops,
-            history_capacity=g.config.history_capacity(l),
-            dedup="ring", expand_r=g.packed.r_pack,
-            accept_fn=accept_fn, accept_data=g.labels.bits,
-            filter_beta=filter_beta if filter_beta is not None else 0.5,
-            filter_mode=method,
-        )
-        ids = np.asarray(res.match_i)        # accepted, quantized order
         budget = min(self.io_limit or l, l)
-        stage_ids = ids[:, :budget]
-        t0 = time.time()
-        rows = self.store.fetch(
-            np.maximum(stage_ids, 0).reshape(-1)
-        ).reshape(ids.shape[0], budget, -1)
-        self.io_stats["rows_staged"] += int(stage_ids.size)
-        self.io_stats["stage_s"] += time.time() - t0
-        d, i = _tiered_rerank(
-            jnp.asarray(queries), jnp.asarray(rows), jnp.asarray(stage_ids),
-            g.state.valid, g.config.metric, k,
+        mh = max_hops or g.config.max_hops
+        if router_starts is None:
+            router_starts = 4 if self._router_ids is not None else 0
+        n_start = router_starts if self._router_ids is not None else 0
+        beta = filter_beta if filter_beta is not None else 0.5
+        fn = self._composed_filtered_fn(
+            accept_fn, l, beam_width, mh, budget, n_start,
+            np.dtype(query_dtype).name if query_dtype else None,
+            beta, method,
         )
-        return np.asarray(d), np.asarray(i), res
+        from diskann_tpu.graph.scorers import packed_scorer
+
+        _, sdata = packed_scorer(g.packed, g.config.metric)
+        if n_start > 0:
+            _, *router_rows = self._router_table("packed")
+            router_rows = tuple(router_rows)
+            router_ids = self._router_ids
+        else:
+            router_rows = (jnp.zeros((1,), jnp.float32),) * 2
+            router_ids = jnp.zeros((1,), jnp.int32)
+        start = g._start()
+        bs = batch_size or getattr(g, "search_batch_size", None) or 4096
+
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int32)
+        cmps = np.zeros((b,), np.int32)
+        hops = np.zeros((b,), np.int32)
+        offs = list(range(0, b, bs))
+        pending = None
+        for off in offs + [None]:
+            if off is not None:
+                qb = queries[off : off + bs]
+                q_wire = jnp.asarray(
+                    qb.astype(query_dtype) if query_dtype else qb
+                )
+                with span("tiered.traverse_filtered", offset=off,
+                          rows=qb.shape[0]):
+                    packed = fn(q_wire, sdata, g.state.adjacency,
+                                g.labels.bits, router_ids, router_rows,
+                                start)
+                    arr = np.asarray(packed)
+                stage_ids = arr[:, :budget]
+                t0 = time.time()
+                handle = self.store.fetch_async(np.maximum(stage_ids, 0))
+                self.io_stats["rows_staged"] += int(stage_ids.size)
+                self.io_stats["stage_s"] += time.time() - t0
+                nxt = (off, qb.shape[0], stage_ids, handle, qb,
+                       arr[:, budget], arr[:, budget + 1])
+            else:
+                nxt = None
+            if pending is not None:
+                poff, m, stage_ids, handle, qb, pc, ph = pending
+                with span("tiered.stage_wait", offset=poff):
+                    rows = self.store.fetch_wait(handle)
+                d, i = _tiered_rerank(
+                    jnp.asarray(qb),
+                    jnp.asarray(rows.astype(row_wire, copy=False)),
+                    jnp.asarray(stage_ids), g.state.valid,
+                    g.config.metric, k,
+                )
+                out_d[poff : poff + m] = np.asarray(d)[:m]
+                out_i[poff : poff + m] = np.asarray(i)[:m]
+                cmps[poff : poff + m] = pc[:m]
+                hops[poff : poff + m] = ph[:m]
+            pending = nxt
+        from diskann_tpu.graph.index import SearchStats
+
+        return out_d, out_i, SearchStats(
+            cmps=cmps, hops=hops, result_count=(out_i >= 0).sum(axis=1)
+        )
 
     def search_batched(
         self,
@@ -431,8 +542,9 @@ class TieredIndex:
         out_d = np.full((b, k), np.inf, np.float32)
         out_i = np.full((b, k), -1, np.int32)
         cmps = np.zeros((b,), np.int32)
+        hops = np.zeros((b,), np.int32)
         offs = list(range(0, b, batch_size))
-        pending = None   # (off, m, stage_ids, handle, qb)
+        pending = None   # (off, m, stage_ids, handle, qb, cmps, hops)
         for idx, off in enumerate(offs + [None]):
             if off is not None:
                 qb = queries[off : off + batch_size]
@@ -449,11 +561,12 @@ class TieredIndex:
                 handle = self.store.fetch_async(np.maximum(stage_ids, 0))
                 self.io_stats["rows_staged"] += int(stage_ids.size)
                 self.io_stats["stage_s"] += time.time() - t0
-                nxt = (off, qb.shape[0], stage_ids, handle, qb, pc)
+                nxt = (off, qb.shape[0], stage_ids, handle, qb, pc,
+                       arr[:, budget + 1])
             else:
                 nxt = None
             if pending is not None:
-                poff, m, stage_ids, handle, qb, pc = pending
+                poff, m, stage_ids, handle, qb, pc, ph = pending
                 with span("tiered.stage_wait", offset=poff):
                     rows = self.store.fetch_wait(handle)
                 d, i = _tiered_rerank(
@@ -465,8 +578,13 @@ class TieredIndex:
                 out_d[poff : poff + m] = np.asarray(d)[:m]
                 out_i[poff : poff + m] = np.asarray(i)[:m]
                 cmps[poff : poff + m] = pc[:m]
+                hops[poff : poff + m] = ph[:m]
             pending = nxt
-        return out_d, out_i, cmps
+        from diskann_tpu.graph.index import SearchStats
+
+        return out_d, out_i, SearchStats(
+            cmps=cmps, hops=hops, result_count=(out_i >= 0).sum(axis=1)
+        )
 
 
     # -------------------------------------------------------------- save/load
