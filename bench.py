@@ -312,10 +312,10 @@ def main():
     # round-3 row) — the scored config is the best-known operating point.
     idx.unroll_hops = os.environ.get("BENCH_UNROLL", "1") == "1"
     idx.router_compute = os.environ.get("BENCH_RCOMP", "bf16")
-    # BENCH_MTRUNC: pre-top_k hop candidates to L before the merge sort —
-    # shrinks the dominant non-DMA sort from L+W*R to 2L columns (exact up
-    # to equal-distance tie order).  Default ON (round 5).
-    idx.merge_trunc = os.environ.get("BENCH_MTRUNC", "1") == "1"
+    # BENCH_MTRUNC: pre-top_k hop candidates to L before the merge sort.
+    # Default OFF: the round-5 interleaved battery measured it 4.5% slower
+    # at this operating point (/tmp/r5_battery.json).
+    idx.merge_trunc = os.environ.get("BENCH_MTRUNC", "0") == "1"
     l_sweep = tuple(
         int(v) for v in os.environ.get(
             "BENCH_LS",
