@@ -50,6 +50,11 @@ def main(argv=None):
     g.add_argument("--build-n", type=int, default=0,
                    help="also interleave 2x2 builds at this N (0 = skip)")
     g.add_argument("--attach-dp", type=int, default=128)
+    g.add_argument("--idx-cache", default="",
+                   help="load the shared index from this GraphIndex.save "
+                   "dir instead of building fresh (the headline bench's "
+                   "BENCH_SAVE_IDX cache); search-config gates only need "
+                   "ONE index, whoever built it")
     g.add_argument("-o", "--out", help="artifact file to write")
 
     args = ap.parse_args(argv)
@@ -165,8 +170,12 @@ def _abgate(args) -> int:
     build_kw = dict(insert_batch_size=8192, search_batch_size=2048,
                     build_mode="packed", packed_dp=64)
     t0 = time.time()
-    idx = GraphIndex.build(x, cfg, **build_kw)
-    log(f"[abgate] shared index built in {time.time()-t0:.1f}s")
+    if args.idx_cache and os.path.isdir(args.idx_cache):
+        idx = GraphIndex.load(args.idx_cache, search_batch_size=2048)
+        log(f"[abgate] shared index loaded in {time.time()-t0:.1f}s")
+    else:
+        idx = GraphIndex.build(x, cfg, **build_kw)
+        log(f"[abgate] shared index built in {time.time()-t0:.1f}s")
     if args.attach_dp:
         idx.attach_packed(dp=args.attach_dp, writable=False)
 

@@ -34,6 +34,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _encode_i8pack(q: np.ndarray) -> np.ndarray:
+    """Host-side int8 query wire: per-row symmetric SQ (max-abs -> 127)
+    with the f32 scale riding as 4 extra i8 columns -> [B, d+4] i8.
+
+    The relay upload runs ~54MB/s and is ON the search critical path
+    (doubling query bytes measured -35% QPS, /tmp/r5_battery3.log round
+    "pflat_qf32") — int8 halves the f16 wire again.  The device
+    reconstructs q = codes * scale (error ~0.4%/dim; the int8 traversal
+    scorer re-quantizes q anyway, so only the exact rerank sees it)."""
+    scale = np.abs(q).max(axis=1, keepdims=True).astype(np.float32) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    qi = np.clip(np.rint(q / scale), -127, 127).astype(np.int8)
+    return np.concatenate([qi, scale.view(np.int8)], axis=1)
+
+
+def _decode_i8pack(q_wire, dim: int):
+    """Device-side inverse of `_encode_i8pack` -> [B, d] f32."""
+    codes = q_wire[:, :dim].astype(jnp.float32)
+    scale = jax.lax.bitcast_convert_type(
+        q_wire[:, dim : dim + 4], jnp.float32
+    )
+    return codes * scale[:, None]
+
+
 # mode="auto" flat-vs-graph crossover, in live_n * dim elements.  Measured
 # endpoints (BENCH_WIKI100K_r04.json): at 100k x 768 = 76.8M the exact bf16
 # MXU scan wins (5,647 QPS @ recall 1.0 vs graph 4,101 @ 0.9993); at
@@ -42,12 +66,17 @@ def _round_up(x: int, m: int) -> int:
 FLAT_AUTO_CROSSOVER = 100_000_000
 
 
-@jax.jit
-def _pack_outputs(fd, fi, cmps, hops):
+@partial(jax.jit, static_argnames=("flat",))
+def _pack_outputs(fd, fi, cmps, hops, flat: bool = False):
     """Pack (dists f32 [B,k], ids i32 [B,k], cmps [B], hops [B]) into ONE
     [B, 2k+2] i32 array so a whole batch's results cross the host link in a
-    single fetch (each independent fetch pays the ~30ms relay RTT)."""
-    return jnp.concatenate(
+    single fetch (each independent fetch pays the ~30ms relay RTT).
+
+    flat=True reshapes to exact [*, 128] lane tiles: a [B, 22] i32 output
+    buffer tiles as (8, 128) on TPU — 22 minor-dim columns pad 5.8x, and
+    the D2H fetch ships the padded tiles (measured 6.6ms for a [2048, 22]
+    result vs the ~0.6ms its 180KB would cost; scripts/r5_profile.py)."""
+    out = jnp.concatenate(
         [
             jax.lax.bitcast_convert_type(fd, jnp.int32),
             fi,
@@ -56,9 +85,17 @@ def _pack_outputs(fd, fi, cmps, hops):
         ],
         axis=1,
     )
+    if flat:
+        n = out.shape[0] * out.shape[1]
+        pad = (-n) % 128
+        out = jnp.pad(out.reshape(-1), (0, pad)).reshape(-1, 128)
+    return out
 
 
-def _unpack_outputs(arr: np.ndarray, k: int):
+def _unpack_outputs(arr: np.ndarray, k: int, b: int | None = None):
+    w = 2 * k + 2
+    if arr.ndim != 2 or arr.shape[1] != w:       # flat [*, 128] tiles
+        arr = arr.reshape(-1)[: b * w].reshape(b, w)
     fd = np.ascontiguousarray(arr[:, :k]).view(np.float32)
     fi = arr[:, k : 2 * k]
     cmps = arr[:, 2 * k]
@@ -610,6 +647,9 @@ class GraphIndex:
         hops = np.zeros((b,), np.int32)
         start = self._start()
 
+        i8_wire = query_dtype in ("i8", "int8", "i8pack") or (
+            query_dtype is not None and np.dtype(query_dtype) == np.int8
+        )
         quant = mode in ("pq", "sq", "packed", "spherical", "minmax")
         if quant:
             # one dispatch per sub-batch: upload the (compressed) queries and
@@ -618,7 +658,8 @@ class GraphIndex:
             use_router = router_ids is not None
             fn = self._composed_quant_fn(
                 mode, k, l, w, rerank_l, max_hops,
-                np.dtype(query_dtype).name if query_dtype else None,
+                "i8pack" if i8_wire
+                else (np.dtype(query_dtype).name if query_dtype else None),
                 use_router, router_starts,
             )
             _, sdata, _ = self._scorer_for_mode(mode)
@@ -638,9 +679,12 @@ class GraphIndex:
             if m < bs:
                 q = np.pad(q, ((0, bs - m), (0, 0)))
             if quant:
-                q_wire = jnp.asarray(
-                    q.astype(query_dtype) if query_dtype is not None else q
-                )
+                if i8_wire:
+                    q_wire = jnp.asarray(_encode_i8pack(q))
+                elif query_dtype is not None:
+                    q_wire = jnp.asarray(q.astype(query_dtype))
+                else:
+                    q_wire = jnp.asarray(q)
                 packed_out = fn(
                     q_wire, sdata, self.state.adjacency, self.state.vectors,
                     self.state.sq_norms, self.state.valid, router_ids,
@@ -689,7 +733,7 @@ class GraphIndex:
         # local bytes; only the LAST sub-batch's copy can still be in flight
         arrs = [np.asarray(po) for _, _, po in pending]
         for i, (off, m, _) in enumerate(pending):
-            fd, fi, cm, hp = _unpack_outputs(arrs[i], k)
+            fd, fi, cm, hp = _unpack_outputs(arrs[i], k, bs)
             out_d[off : off + m] = fd[:m]
             out_i[off : off + m] = fi[:m]
             cmps[off : off + m] = cm[:m]
@@ -1058,6 +1102,14 @@ class GraphIndex:
     #: wider merge saves; /tmp/r5_battery.json) — kept as a knob because
     #: the tradeoff flips at large L.
     merge_trunc: bool = False
+    #: Ship the packed per-batch output as exact [*, 128] lane tiles
+    #: (see `_pack_outputs(flat=...)`).  Compose-cache keyed.  Default OFF:
+    #: in the production pipeline the padded D2H transfer hides behind the
+    #: next sub-batch's compute (copy_to_host_async), while the repack adds
+    #: in-program work on the critical path — the interleaved battery
+    #: measured flat packing 7% SLOWER end-to-end (/tmp/r5_battery3.log)
+    #: even though an isolated dispatch saves 6ms of padded transfer.
+    pack_flat: bool = False
 
     def _composed_quant_fn(self, mode, k, l, w, rl, mh, wire,
                            use_router, router_starts=None):
@@ -1074,7 +1126,8 @@ class GraphIndex:
         # closure baked the old layout's shapes
         key = (mode, k, l, w, rl, mh, wire, use_router,
                router_starts, self.config, expand_r, sdef0.name,
-               self.router_compute, self.unroll_hops, self.merge_trunc)
+               self.router_compute, self.unroll_hops, self.merge_trunc,
+               self.pack_flat)
         if self._compose_cache is None:
             self._compose_cache = {}
         fn = self._compose_cache.get(key)
@@ -1102,11 +1155,17 @@ class GraphIndex:
         router_compute = self.router_compute
         unroll = self.unroll_hops
         mtrunc = self.merge_trunc
+        pflat = self.pack_flat
+
+        dim = self.dim
 
         @jax.jit
         def run(q_wire, sdata, adjacency, vectors, sq_norms, valid,
                 router_ids, router_codes, start):
-            q = q_wire.astype(jnp.float32)
+            if wire == "i8pack":
+                q = _decode_i8pack(q_wire, dim)
+            else:
+                q = q_wire.astype(jnp.float32)
             if use_router:
                 if packed_router:
                     rc, raux, proj, pscale, pbias2 = router_codes
@@ -1131,7 +1190,7 @@ class GraphIndex:
             fd, fi = _rerank(
                 res.ids[:, :rl_eff], q, vectors, sq_norms, valid, metric, k
             )
-            return _pack_outputs(fd, fi, res.cmps, res.hops)
+            return _pack_outputs(fd, fi, res.cmps, res.hops, flat=pflat)
 
         self._compose_cache[key] = run
         return run

@@ -48,7 +48,9 @@ N = int(os.environ.get("DEEP_N", 50_000_000))
 D = 128
 NQ = int(os.environ.get("DEEP_NQ", 1024))
 K = 10
-SHARDS = int(os.environ.get("DEEP_SHARDS", 80))
+SHARDS = int(os.environ.get("DEEP_SHARDS", 60))  # ~1.67M pts/shard, the
+# same shard size the proven 20M run used (24 shards x 1.67M, r04); fewer
+# shards also cut the ~60s/shard fixed overhead (compile reuse, merges)
 R = int(os.environ.get("DEEP_R", 40))
 NC = 32768           # mixture components
 SIGMA = 0.35

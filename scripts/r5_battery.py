@@ -77,30 +77,22 @@ def probe():
 # Battery 2 (battery 1 verdict: mtrunc -4.5%, sbs4096 -14%, L-cuts flat;
 # W2mh9 +3% and rs8mh5 +1% — expansions/query is the lever, so push
 # entry-point quality + beam/hop cuts).
-_A = {"merge_trunc": False, "search_batch_size": 2048}
+_A = {"merge_trunc": False, "search_batch_size": 2048, "pack_flat": False}
 CONFIGS = [
     # r04 scored point (the normalizer, present in every round)
     ("base_r04", _A, dict(l_search=20, max_hops=6, rerank_l=12,
                           beam_width=4)),
-    # battery-1 positives, re-measured
+    # int8 query wire: upload bytes are ON the critical path (f32 wire
+    # measured -35%, battery3) -- i8 halves the f16 upload again.  Recall
+    # cost of the reconstructed q must be measured at THIS shape.
+    ("qi8", _A, dict(l_search=20, max_hops=6, rerank_l=12, beam_width=4,
+                     query_dtype="i8")),
+    ("qi8_L24", _A, dict(l_search=24, max_hops=6, rerank_l=16, beam_width=4,
+                         query_dtype="i8")),
+    ("qi8_W2mh9", _A, dict(l_search=20, max_hops=9, rerank_l=12,
+                           beam_width=2, query_dtype="i8")),
+    # battery-2/3 f16 winner, for reference
     ("W2mh9", _A, dict(l_search=20, max_hops=9, rerank_l=12, beam_width=2)),
-    ("rs8mh5", _A, dict(l_search=20, max_hops=5, rerank_l=12, beam_width=4,
-                        router_starts=8)),
-    # more starts -> fewer hops (expansions 16)
-    ("rs16mh4", _A, dict(l_search=20, max_hops=4, rerank_l=12, beam_width=4,
-                         router_starts=16)),
-    ("rs16mh5", _A, dict(l_search=20, max_hops=5, rerank_l=12, beam_width=4,
-                         router_starts=16)),
-    # narrow beam + rich starts (expansions 12-14)
-    ("W2mh6rs16", _A, dict(l_search=20, max_hops=6, rerank_l=12,
-                           beam_width=2, router_starts=16)),
-    ("W2mh7rs8", _A, dict(l_search=20, max_hops=7, rerank_l=12,
-                          beam_width=2, router_starts=8)),
-    ("W3mh5rs16", _A, dict(l_search=20, max_hops=5, rerank_l=12,
-                           beam_width=3, router_starts=16)),
-    # minimum-expansion probe (10 rows/query)
-    ("W2mh5rs32", _A, dict(l_search=20, max_hops=5, rerank_l=12,
-                           beam_width=2, router_starts=32)),
 ]
 
 
@@ -126,7 +118,9 @@ def main():
     def run_cfg(attrs, kw):
         for a, v in attrs.items():
             setattr(idx, a, v)
-        return idx.search(qn, K, mode="packed", query_dtype=np.float16, **kw)
+        kw = dict(kw)
+        kw.setdefault("query_dtype", np.float16)
+        return idx.search(qn, K, mode="packed", **kw)
 
     # ---- compile + recall pass (one per config) ----
     results = {}
