@@ -286,10 +286,24 @@ def main():
     qn = np.asarray(q)
     rerank_l = int(os.environ.get("BENCH_RERANK", 12 if attach_dp else 0)) \
         or None
-    # f16 wire format for query upload: halves upload bytes, recall delta
-    # measured -0.0006 on the 1M bench (BENCH_QDT=float32 to disable)
-    qdt = os.environ.get("BENCH_QDT", "float16")
-    query_dtype = None if qdt in ("", "float32", "f32") else np.dtype(qdt)
+    # Query wire formats to sweep (BENCH_QDTS, comma list; BENCH_QDT
+    # forces one).  f16 halves the f32 upload (recall delta -0.0006);
+    # "i8" (per-row SQ + in-band scale, `_encode_i8pack`) halves it again —
+    # the upload is ON the critical path (f32 wire measured -35% QPS,
+    # /tmp/r5_battery3.log), but the reconstructed q costs some recall, so
+    # the sweep SCORES both and the best >=0.95-recall point wins.
+    _one = os.environ.get("BENCH_QDT")
+    qdts = ([_one] if _one else
+            os.environ.get("BENCH_QDTS",
+                           "float16,i8" if attach_dp else "float16")
+            .split(","))
+
+    def _resolve_qdt(name):
+        if name in ("", "float32", "f32"):
+            return None
+        if name in ("i8", "int8", "i8pack"):
+            return "i8"
+        return np.dtype(name)
     # hop cap: measured on the 1M bench index, recall saturates by ~10 hops
     # at W=4 with router starts (free-running converges at ~91 hops for
     # +0.0005 recall; mh=10/9/8 all hold recall@L=90 >= 0.9527,
@@ -339,7 +353,9 @@ def main():
     # off its neighbors (round-4 artifact showed exactly that)
     point_retries = int(os.environ.get("BENCH_POINT_RETRY", 2))
     probe_clean_s = float(os.environ.get("BENCH_PROBE_CLEAN", 3.0))
-    for l in l_sweep:
+    for qdt_name in qdts:
+      query_dtype = _resolve_qdt(qdt_name)
+      for l in l_sweep:
         try:
             with _Watchdog(1500, f"search sweep point L={l}"):
                 idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
@@ -371,20 +387,22 @@ def main():
             break
         r = knn_recall(ids, gt, k)
         qps = nq / dt
-        sweep.append({"l": l, "recall": round(r, 4), "qps": round(qps),
+        cname = f"L={l},q={qdt_name}"
+        sweep.append({"l": l, "qdt": qdt_name, "recall": round(r, 4),
+                      "qps": round(qps),
                       "rep_spread": [round(nq / t) for t in rep_dts],
                       "probe_s": point_probes})
-        LOG(f"[bench] L={l}: recall@{k}={r:.4f} qps={qps:.0f} "
+        LOG(f"[bench] {cname}: recall@{k}={r:.4f} qps={qps:.0f} "
             f"hops={stats.hops.mean():.0f} probes={point_probes}")
         if r >= target_recall and (best is None or qps > best[1]):
-            best = (l, qps, r)
+            best = (cname, qps, r)
             _LAST_GOOD.clear()
             _LAST_GOOD.update({
                 "metric": f"qps_at_recall{target_recall}_1M_128d_{mode}",
                 "value": round(float(qps), 1),
                 "unit": "qps",
                 "vs_baseline": round(float(qps) / 100_000.0, 4),
-                "extra": {"recall": r, "config": f"L={l}",
+                "extra": {"recall": r, "config": cname,
                           "partial": "watchdog_last_good", "n": n},
             })
         if r >= 0.999:
@@ -392,6 +410,7 @@ def main():
 
     # ---- filtered family (YFCC row analogue): packed traversal + inline
     # beta filter + rerank, one composed dispatch per sub-batch ----
+    query_dtype = np.float16   # the filtered paths' production wire
     filt_rows = []
     if filt_preds:
         idx.attach_labels([[f"cat{c}"] for c in cats])
@@ -438,7 +457,7 @@ def main():
         recall = top["recall"]
     else:
         value, recall = best[1], best[2]
-        note = f"L={best[0]}"
+        note = best[0]
 
     out = {
         "metric": f"qps_at_recall{target_recall}_1M_128d_{mode}",

@@ -63,10 +63,18 @@ def rows_referencing_deleted(state: GraphArrays) -> jax.Array:
     return dead.any(axis=1) & state.valid
 
 
-def _kept_and_repl(state, rows, max_dead, repl_lookup, repl_table):
+def _kept_and_repl(state, rows, max_dead, repl_lookup, repl_table,
+                   repl_cap: int = 0):
     """Shared patch front-end: live kept entries + replacement candidates
     for up to ``max_dead`` deleted entries per row (from the dead entries'
-    out-lists, or from the visited_topk ``repl_table``)."""
+    out-lists, or from the visited_topk ``repl_table``).
+
+    repl_cap > 0 truncates each dead entry's out-list to its first
+    ``repl_cap`` entries (RobustPrune selection order = the dead node's
+    best-ranked neighbors).  The repair candidate gather is row-issue-bound
+    (~12ns/row), so the pool width directly prices the patch dispatch:
+    C = Rs + max_dead*Rs ~ 480 costs ~5.5s/cycle of pure gather at the 1M
+    streaming bench's 960k affected rows; repl_cap=16 cuts it 3x."""
     cap = state.capacity
     a = rows.shape[0]
     row_ok = (rows >= 0) & (rows < cap)
@@ -94,6 +102,8 @@ def _kept_and_repl(state, rows, max_dead, repl_lookup, repl_table):
     else:
         # replacement candidates: out-lists of the dead entries (OneHop)
         repl = state.adjacency[jnp.clip(dead_ids, 0, cap - 1)]    # [A, md, Rs]
+        if repl_cap and repl_cap < repl.shape[2]:
+            repl = repl[:, :, :repl_cap]
         repl = jnp.where((dead_ids >= 0)[:, :, None], repl, -1).reshape(a, -1)
     repl_live = state.valid[jnp.clip(repl, 0, cap - 1)] & (repl >= 0)
     # a replacement must not be the row itself
@@ -147,7 +157,7 @@ def patch_rows(
     return state._replace(adjacency=adjacency, degrees=degrees)
 
 
-@partial(jax.jit, static_argnames=("config", "max_dead"))
+@partial(jax.jit, static_argnames=("config", "max_dead", "repl_cap"))
 def fill_rows(
     state: GraphArrays,
     rows: jax.Array,          # [A] i32 row ids to patch (cap = padding)
@@ -156,6 +166,7 @@ def fill_rows(
     max_dead: int = 4,
     repl_lookup: jax.Array | None = None,
     repl_table: jax.Array | None = None,
+    repl_cap: int = 16,
 ) -> GraphArrays:
     """Prune-free patch: drop dead entries, top-up with the NEAREST
     replacement candidates until the slack capacity.
@@ -175,7 +186,7 @@ def fill_rows(
     r_slack = state.max_degree_slack
     a = rows.shape[0]
     row_ok, safe_rows, kept, repl = _kept_and_repl(
-        state, rows, max_dead, repl_lookup, repl_table
+        state, rows, max_dead, repl_lookup, repl_table, repl_cap
     )
 
     pool_ids = jnp.concatenate([kept, repl], axis=1)              # [A, C]
@@ -261,6 +272,20 @@ def inplace_delete(
     4096 for "fill", whose cost is the [rows, C, d] candidate gather —
     bigger batches amortize dispatch overhead until the gather transient
     (~1GB at 4096 x 480 x 128 f32) bounds them)."""
+    import os
+    import time as _time
+
+    prof = os.environ.get("DISKANN_DELETE_PROFILE") == "1"
+
+    def _tick(label, t0):
+        if prof:
+            np.asarray(index.state.valid[:1])   # drain the device queue
+            dt = _time.time() - t0
+            print(f"[delete-prof] {label}: {dt:.2f}s", flush=True)
+            return _time.time()
+        return t0
+
+    t0 = _time.time()
     ids = np.asarray(ids, np.int64)
     st = index.state
     cap = st.capacity
@@ -344,6 +369,7 @@ def inplace_delete(
         affected = _rows_that_reference_deleted(index.state, cand)
     else:
         raise ValueError(f"unknown delete method {method!r}")
+    t0 = _tick(f"mark+discovery ({method}, {len(affected)} rows)", t0)
 
     repair_fn = {"prune": patch_rows, "fill": fill_rows}[repair]
     for off in range(0, len(affected), patch_batch):
@@ -355,6 +381,7 @@ def inplace_delete(
             index.state, jnp.asarray(chunk), index.config,
             repl_lookup=repl_lookup, repl_table=repl_table,
         )
+    t0 = _tick(f"{repair} patches ({(len(affected)+patch_batch-1)//patch_batch if len(affected) else 0} dispatches)", t0)
     index.state = drop_deleted_rows(index.state)
     if index.packed is not None:
         # keep the packed layout consistent: patched rows changed their
@@ -370,5 +397,6 @@ def inplace_delete(
             index.packed = packed_mod.refresh_rows_donated(
                 index.packed, index.state.adjacency, jnp.asarray(chunk)
             )
+        _tick(f"packed refresh ({len(stale)} rows)", t0)
     index.free_slots.extend(int(i) for i in ids)
     index.n_deleted += len(ids)
