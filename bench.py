@@ -333,7 +333,7 @@ def main():
     l_sweep = tuple(
         int(v) for v in os.environ.get(
             "BENCH_LS",
-            "20,24,30,40,60" if attach_dp else "90,100,120,140,160,200",
+            "16,20,24,30,40" if attach_dp else "90,100,120,140,160,200",
         ).split(",")
     )
     # probe spread just before the sweep (see the pre-build probe above)
