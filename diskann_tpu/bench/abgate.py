@@ -87,8 +87,14 @@ class Side:
             elif key == "mtrunc":
                 attrs["merge_trunc"] = str(v) in ("1", "true", "True")
             elif key == "qdt":
+                # NOTE: np.dtype("i8") is int64 (numpy byte-count codes) —
+                # the int8 wire must stay the literal "i8" sentinel, which
+                # GraphIndex.search resolves to the i8pack encoder
+                sv = str(v)
                 search["query_dtype"] = (
-                    None if str(v) in ("f32", "float32", "") else np.dtype(str(v))
+                    None if sv in ("f32", "float32", "")
+                    else "i8" if sv in ("i8", "int8", "i8pack")
+                    else np.dtype(sv)
                 )
             else:
                 dest = {"l": "l_search", "mh": "max_hops", "rl": "rerank_l",
