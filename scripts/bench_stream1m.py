@@ -93,23 +93,34 @@ def main():
         ex.tag_to_id[t] = t
         ex.tag_to_row[t] = t
 
-    steps = []
-    for c in range(CYCLES):
-        lo = c * step
-        steps.append({"operation": "delete", "start": lo, "end": lo + step})
-        steps.append({"operation": "insert", "start": N + lo,
-                      "end": N + lo + step})
-        steps.append({"operation": "search"})
-
     LOG(f"running {CYCLES} churn cycles of {step} del + {step} ins "
         f"(method={METHOD}, repair={REPAIR})")
-    log = ex.run(steps)
+    # one ex.run per cycle + a partial artifact after each: a relay wedge
+    # mid-run (observed >=2h outages, CLAUDE.md) costs one cycle, not the
+    # whole bench
+    log = []
+    for c in range(CYCLES):
+        lo = c * step
+        log += ex.run([
+            {"operation": "delete", "start": lo, "end": lo + step},
+            {"operation": "insert", "start": N + lo, "end": N + lo + step},
+            {"operation": "search"},
+        ])
+        _dump(log, build_s, partial=c + 1 < CYCLES)
+        last = [e for e in log if e["operation"] == "search"][-1]
+        LOG(f"cycle {c}: recall={last.get('recall'):.4f}")
 
+    print(json.dumps(_dump(log, build_s, partial=False)), flush=True)
+
+
+def _dump(log, build_s, *, partial):
     recalls = [e["recall"] for e in log if e["operation"] == "search"]
     ins = [e for e in log if e["operation"] == "insert"]
     dels = [e for e in log if e["operation"] == "delete"]
-    ins_rate = sum(e["count"] for e in ins) / sum(e["wall_s"] for e in ins)
-    del_rate = sum(e["count"] for e in dels) / sum(e["wall_s"] for e in dels)
+    ins_rate = sum(e["count"] for e in ins) / max(
+        sum(e["wall_s"] for e in ins), 1e-9)
+    del_rate = sum(e["count"] for e in dels) / max(
+        sum(e["wall_s"] for e in dels), 1e-9)
     out = {
         "metric": "stream1m_recall_after_50pct_churn",
         "value": recalls[-1] if recalls else 0.0,
@@ -122,12 +133,13 @@ def main():
             "deletes_per_s": round(del_rate),
             "recall_trajectory": [round(r, 4) for r in recalls],
             "recall_min": round(min(recalls), 4) if recalls else 0,
+            "partial": partial or None,
             "steps": log,
         },
     }
     with open(OUT, "w") as f:
         f.write(json.dumps(out) + "\n")
-    print(json.dumps(out), flush=True)
+    return out
 
 
 if __name__ == "__main__":
