@@ -76,3 +76,40 @@ def test_u8_fbin_roundtrip(tmp_path, rng):
     write_fbin(p, x)
     back = read_fbin(p, dtype=np.uint8)
     np.testing.assert_array_equal(back, x)
+
+
+def test_i8pack_query_wire(rng):
+    """int8 query wire (per-row SQ + in-band f32 scale): the encoder/decoder
+    round-trip is exact up to the quantization step, and search through the
+    wire holds recall (the upload is on the search critical path — f32 wire
+    measured -35% QPS on the relay, so the i8 wire is the production
+    bandwidth lever; /tmp/r5_battery3.log)."""
+    import jax.numpy as jnp
+
+    from diskann_tpu import FlatIndex, GraphConfig, GraphIndex, Metric
+    from diskann_tpu.bench.recall import knn_recall
+    from diskann_tpu.graph.index import _decode_i8pack, _encode_i8pack
+
+    q = (rng.standard_normal((64, 24)) * 3).astype(np.float32)
+    wire = _encode_i8pack(q)
+    assert wire.dtype == np.int8 and wire.shape == (64, 28)
+    back = np.asarray(_decode_i8pack(jnp.asarray(wire), 24))
+    step = np.abs(q).max(axis=1, keepdims=True) / 127.0
+    assert (np.abs(back - q) <= step * 0.5 + 1e-7).all()
+
+    n, d = 1500, 24
+    centers = rng.standard_normal((20, d)).astype(np.float32) * 2
+    a = rng.integers(0, 20, size=n)
+    x = centers[a] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    qs = centers[rng.integers(0, 20, size=64)] + 0.2 * rng.standard_normal(
+        (64, d)
+    ).astype(np.float32)
+    idx = GraphIndex.build(x, GraphConfig(max_degree=16, l_build=32),
+                           insert_batch_size=512, build_mode="packed",
+                           packed_dp=24, search_batch_size=64)
+    gt = FlatIndex(x, Metric.L2).search(qs, k=10)[1]
+    _, i_f32, _ = idx.search(qs, k=10, l_search=40, mode="packed")
+    _, i_i8, _ = idx.search(qs, k=10, l_search=40, mode="packed",
+                            query_dtype="i8")
+    r32, r8 = knn_recall(i_f32, gt, 10), knn_recall(i_i8, gt, 10)
+    assert r8 >= r32 - 0.03, (r32, r8)
