@@ -314,11 +314,12 @@ class TieredIndex:
 
     _filtered_compose_cache: dict | None = None
 
-    def _composed_filtered_fn(self, accept_fn, l: int, w: int, mh: int,
-                              budget: int, n_start: int, wire: str | None,
-                              beta: float, method: str):
+    def _composed_filtered_fn(self, mode, accept_fn, l: int, w: int,
+                              mh: int, budget: int, n_start: int,
+                              wire: str | None, beta: float, method: str):
         """ONE jitted program per filtered-search config: device upcast +
-        router top-k + packed traversal with the inline beta filter
+        router top-k + quantized traversal (packed fat rows, sq, or pq —
+        whichever the tier carries) with the inline beta filter
         (matched-only list at quantized distances) + match-id pack.  Same
         two-dispatch shape as the unfiltered composed path; the exact
         rerank runs over the staged matched rows (RerankAndFilter,
@@ -326,7 +327,7 @@ class TieredIndex:
         from diskann_tpu.graph.search import beam_search_scored
 
         g = self.graph
-        sdef, _, expand_r = g._scorer_for_mode("packed")
+        sdef, _, expand_r = g._scorer_for_mode(mode)
         key = ("filtered", accept_fn, l, w, mh, budget, n_start, wire,
                beta, method, g.config, sdef.name)
         if self._filtered_compose_cache is None:
@@ -343,16 +344,24 @@ class TieredIndex:
                 start):
             q = q_wire.astype(jnp.float32)
             if n_start > 0:
-                qi, qscale, qsq = sdef.prep(sdata, q)
-                rc, raux = router_rows
-                dots = jax.lax.dot_general(
-                    qi, rc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * qscale[:, None]
-                if metric == Metric.InnerProduct:
-                    d = -dots
+                if mode in ("sq", "packed"):
+                    qi, qscale, qsq = sdef.prep(sdata, q)
+                    rc, raux = router_rows
+                    dots = jax.lax.dot_general(
+                        qi, rc, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * qscale[:, None]
+                    if metric == Metric.InnerProduct:
+                        d = -dots
+                    else:
+                        d = qsq[:, None] + raux[None, :] - 2.0 * dots
                 else:
-                    d = qsq[:, None] + raux[None, :] - 2.0 * dots
+                    rv, rsq = router_rows
+                    d = distance_to_set(
+                        q, rv, metric, x_sq_norms=rsq,
+                        q_sq_norms=squared_norms(q)
+                        if metric.needs_norms else None,
+                    )
                 _, top = jax.lax.top_k(-d, n_start)
                 st = router_ids[top]
             else:
@@ -421,16 +430,14 @@ class TieredIndex:
             router_starts = 4 if self._router_ids is not None else 0
         n_start = router_starts if self._router_ids is not None else 0
         beta = filter_beta if filter_beta is not None else 0.5
+        fmode, _, sdata, _, _ = self._traversal_scorer(None)
         fn = self._composed_filtered_fn(
-            accept_fn, l, beam_width, mh, budget, n_start,
+            fmode, accept_fn, l, beam_width, mh, budget, n_start,
             np.dtype(query_dtype).name if query_dtype else None,
             beta, method,
         )
-        from diskann_tpu.graph.scorers import packed_scorer
-
-        _, sdata = packed_scorer(g.packed, g.config.metric)
         if n_start > 0:
-            _, *router_rows = self._router_table("packed")
+            _, *router_rows = self._router_table(fmode)
             router_rows = tuple(router_rows)
             router_ids = self._router_ids
         else:
