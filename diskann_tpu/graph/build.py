@@ -242,6 +242,17 @@ def insert_batch(
     else:
         cand_ids, cand_d = res.pool_i, res.pool_d
 
+    # drop DELETED nodes from the pool: the candidate search routes through
+    # soft-deleted waypoints (correct), but a dead id pruned into the new
+    # node's neighbor list is a dangling edge AND its row would take a
+    # backedge write — found by the mutation-interleaving stress test as a
+    # dead row resurrected with one live entry after delete->insert
+    # (reference: deleted vertices are not insertion candidates,
+    # index.rs:1527 in-neighbor semantics)
+    pool_ok = (cand_ids >= 0) & state.valid[jnp.clip(cand_ids, 0, cap - 1)]
+    cand_ids = jnp.where(pool_ok, cand_ids, -1)
+    cand_d = jnp.where(pool_ok, cand_d, jnp.inf)
+
     # truncate pool to the occlusion cap by distance (`max_occlusion_size`)
     c_cap = min(cand_ids.shape[1], config.max_occlusion_size)
     cd_sorted, ci_sorted = jax.lax.sort((cand_d, cand_ids), dimension=-1, num_keys=1)
@@ -274,7 +285,9 @@ def insert_batch(
     tgt = tgt.reshape(-1)
     src = src.reshape(-1)
     e = tgt.shape[0]
-    pair_ok = tgt >= 0
+    # belt-and-suspenders: never append a backedge into a dead row (the
+    # pool mask above should make this redundant)
+    pair_ok = (tgt >= 0) & state.valid[jnp.clip(tgt, 0, cap - 1)]
 
     # skip sources already present in the target row (AdjacencyList dedup,
     # `diskann/src/graph/adjacencylist.rs:16`)
