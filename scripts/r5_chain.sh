@@ -15,6 +15,14 @@ echo "[chain] waiting on deep50m pid=$DEEP_PID"
 while kill -0 "$DEEP_PID" 2>/dev/null; do sleep 60; done
 echo "[chain] deep50m exited at $(date)"
 
+# one retry: the build is checkpointed per shard, so a crash (relay wedge,
+# OOM) resumes where it left off instead of losing the run
+if [ ! -f /root/repo/BENCH_DEEP50M_r05.json ]; then
+  echo "[chain] no 50M artifact; restarting deep50m once (resumes from checkpoint)"
+  timeout 18000 python scripts/bench_deep50m.py >> /tmp/deep50m.log 2>&1
+  echo "[chain] deep50m retry rc=$?"
+fi
+
 if ls -d /root/repo/.cache/deep50/deep_idx_* >/dev/null 2>&1; then
   echo "[chain] phase 1: 50M filtered"
   timeout 3600 python scripts/bench_deep50m_filtered.py \
