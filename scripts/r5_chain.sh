@@ -1,11 +1,10 @@
 #!/bin/bash
 # Round-5 post-build chain: waits for the 50M build process to exit, then
-# runs the remaining TPU benches back-to-back so the chip never idles:
-#   1. 50M filtered measurement (only if the index dir exists)
-#   2. 1M streaming churn (two_hop_one_hop + fill repair)
-#   3. headline self-run (cached index, dual-wire sweep)
-#   4. contention-proof A/B gate artifact r04->r05
-# Each phase is timeout-bounded so one wedge cannot eat the rest.
+# runs the remaining TPU benches back-to-back so the chip never idles.
+# Priority order tracks VERDICT r4 ("Next round" items 1-4): if the 50M
+# build FAILED, the cheaper higher-priority artifacts (stream deletes,
+# headline self-run, A/B gate) run FIRST and the checkpointed 50M retry
+# goes last with whatever wall remains.
 set -u
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
@@ -15,41 +14,57 @@ echo "[chain] waiting on deep50m pid=$DEEP_PID"
 while kill -0 "$DEEP_PID" 2>/dev/null; do sleep 60; done
 echo "[chain] deep50m exited at $(date)"
 
-# one retry: the build is checkpointed per shard, so a crash (relay wedge,
-# OOM) resumes where it left off instead of losing the run
-if [ ! -f /root/repo/BENCH_DEEP50M_r05.json ]; then
-  echo "[chain] no 50M artifact; restarting deep50m once (resumes from checkpoint)"
+run_filtered() {
+  if ls -d /root/repo/.cache/deep50/deep_idx_* >/dev/null 2>&1; then
+    echo "[chain] 50M filtered ($(date))"
+    timeout 3600 python scripts/bench_deep50m_filtered.py \
+      > /tmp/deep50f.log 2>&1
+    echo "[chain] filtered rc=$?"
+  else
+    echo "[chain] no saved 50M index; skipping filtered phase"
+  fi
+}
+
+run_stream() {
+  echo "[chain] stream1m ($(date))"
+  STREAM_DELETE_METHOD=two_hop_one_hop STREAM_REPAIR=fill \
+  DISKANN_DELETE_PROFILE=1 \
+  timeout 7200 python scripts/bench_stream1m.py > /tmp/stream1m_r05.log 2>&1
+  echo "[chain] stream rc=$?"
+}
+
+run_selfrun() {
+  echo "[chain] headline selfrun ($(date))"
+  BENCH_SKIP_BUILD=1 BENCH_SAVE_IDX=0 \
+  timeout 3600 python bench.py > /root/repo/BENCH_r05_selfrun.json \
+    2> /tmp/bench_r05_selfrun.log
+  echo "[chain] selfrun rc=$?"
+}
+
+run_abgate() {
+  echo "[chain] abgate r04->r05 ($(date))"
+  timeout 3600 python -m diskann_tpu.bench abgate \
+    --a "l=20,mh=6,rl=12,qdt=float16" \
+    --b "l=20,mh=6,rl=12,qdt=i8" \
+    --reps 3 --clean-s 3.0 \
+    --idx-cache /root/repo/.cache/idx_s0_c4096_sig0.35_1000000_128_R64 \
+    -o /root/repo/AB_GATE_r04_r05.txt > /tmp/abgate_r05.log 2>&1
+  echo "[chain] abgate rc=$?"
+}
+
+if [ -f /root/repo/BENCH_DEEP50M_r05.json ]; then
+  run_filtered
+  run_stream
+  run_selfrun
+  run_abgate
+else
+  echo "[chain] 50M artifact missing: salvage order (stream, selfrun, abgate) then retry"
+  run_stream
+  run_selfrun
+  run_abgate
+  echo "[chain] retrying deep50m from checkpoint ($(date))"
   timeout 18000 python scripts/bench_deep50m.py >> /tmp/deep50m.log 2>&1
   echo "[chain] deep50m retry rc=$?"
+  run_filtered
 fi
-
-if ls -d /root/repo/.cache/deep50/deep_idx_* >/dev/null 2>&1; then
-  echo "[chain] phase 1: 50M filtered"
-  timeout 3600 python scripts/bench_deep50m_filtered.py \
-    > /tmp/deep50f.log 2>&1
-  echo "[chain] filtered rc=$?"
-else
-  echo "[chain] no saved 50M index; skipping filtered phase"
-fi
-
-echo "[chain] phase 2: stream1m ($(date))"
-STREAM_DELETE_METHOD=two_hop_one_hop STREAM_REPAIR=fill \
-DISKANN_DELETE_PROFILE=1 \
-timeout 7200 python scripts/bench_stream1m.py > /tmp/stream1m_r05.log 2>&1
-echo "[chain] stream rc=$?"
-
-echo "[chain] phase 3: headline selfrun ($(date))"
-BENCH_SKIP_BUILD=1 BENCH_SAVE_IDX=0 \
-timeout 3600 python bench.py > /root/repo/BENCH_r05_selfrun.json \
-  2> /tmp/bench_r05_selfrun.log
-echo "[chain] selfrun rc=$?"
-
-echo "[chain] phase 4: abgate r04->r05 ($(date))"
-timeout 3600 python -m diskann_tpu.bench abgate \
-  --a "l=20,mh=6,rl=12,qdt=float16" \
-  --b "l=20,mh=6,rl=12,qdt=i8" \
-  --reps 3 --clean-s 3.0 \
-  --idx-cache /root/repo/.cache/idx_s0_c4096_sig0.35_1000000_128_R64 \
-  -o /root/repo/AB_GATE_r04_r05.txt > /tmp/abgate_r05.log 2>&1
-echo "[chain] abgate rc=$?"
 echo "[chain] ALL DONE $(date)"
