@@ -53,15 +53,17 @@ run_abgate() {
 }
 
 if [ -f /root/repo/BENCH_DEEP50M_r05.json ]; then
+  # judge-priority order (VERDICT r4 items 2, 3, 5, 1-backup): whatever
+  # the round-end cutoff trims is the least critical
+  run_stream
+  run_abgate
   run_filtered
-  run_stream
   run_selfrun
-  run_abgate
 else
-  echo "[chain] 50M artifact missing: salvage order (stream, selfrun, abgate) then retry"
+  echo "[chain] 50M artifact missing: salvage order (stream, abgate, selfrun) then retry"
   run_stream
-  run_selfrun
   run_abgate
+  run_selfrun
   echo "[chain] retrying deep50m from checkpoint ($(date))"
   timeout 18000 python scripts/bench_deep50m.py >> /tmp/deep50m.log 2>&1
   echo "[chain] deep50m retry rc=$?"
