@@ -353,43 +353,66 @@ def main():
     # off its neighbors (round-4 artifact showed exactly that)
     point_retries = int(os.environ.get("BENCH_POINT_RETRY", 2))
     probe_clean_s = float(os.environ.get("BENCH_PROBE_CLEAN", 3.0))
-    for qdt_name in qdts:
-      query_dtype = _resolve_qdt(qdt_name)
-      for l in l_sweep:
+    # sweep points: the L grid at the scored defaults, then (BENCH_EXTRA=0
+    # disables) the round-5 interleaved-battery winners — narrower beam with
+    # a deeper hop cap, and extra router entry points with a shallower one —
+    # each measured +2-6% vs the scored base at >=0.95 recall seconds apart
+    # on the same index (/tmp/r5_battery*.json: W2mh9 x1.03, rs16mh4 x1.06).
+    # All recalls are re-measured here, not trusted from the battery.
+    points = [dict(l=l, qdt=qn_, sw=sw, mh=max_hops, rs=rstarts, grid=True)
+              for qn_ in qdts for l in l_sweep]
+    if attach_dp and os.environ.get("BENCH_EXTRA", "1") == "1":
+        for qn_ in qdts:
+            points += [
+                dict(l=20, qdt=qn_, sw=2, mh=9, rs=rstarts, grid=False),
+                dict(l=20, qdt=qn_, sw=sw, mh=4, rs=16, grid=False),
+                dict(l=24, qdt=qn_, sw=sw, mh=5, rs=16, grid=False),
+            ]
+    skip_qdt = set()   # qdt names whose grid already hit recall >= 0.999
+    wedged = False
+    for pt in points:
+        if wedged or (pt["grid"] and pt["qdt"] in skip_qdt):
+            continue
+        qdt_name, l = pt["qdt"], pt["l"]
+        query_dtype = _resolve_qdt(qdt_name)
+        p_sw, p_mh, p_rs = pt["sw"], pt["mh"], pt["rs"]
+        cname = f"L={l},q={qdt_name}"
+        if not pt["grid"]:
+            cname += f",W={p_sw},mh={p_mh},rs={p_rs or 'dflt'}"
         try:
-            with _Watchdog(1500, f"search sweep point L={l}"):
-                idx.search(qn, k, l_search=l, mode=mode, beam_width=sw,
+            with _Watchdog(1500, f"search sweep point {cname}"):
+                idx.search(qn, k, l_search=l, mode=mode, beam_width=p_sw,
                            rerank_l=rerank_l,
-                           query_dtype=query_dtype, router_starts=rstarts,
-                           max_hops=max_hops)  # compile at full batch shape
+                           query_dtype=query_dtype, router_starts=p_rs,
+                           max_hops=p_mh)  # compile at full batch shape
                 rep_dts, point_probes = [], []
                 for attempt in range(point_retries + 1):
                     for _ in range(max(reps, 1)):
                         t0 = time.time()
                         _, ids, stats = idx.search(qn, k, l_search=l,
                                                    mode=mode,
-                                                   beam_width=sw,
+                                                   beam_width=p_sw,
                                                    rerank_l=rerank_l,
-                                                   max_hops=max_hops,
+                                                   max_hops=p_mh,
                                                    query_dtype=query_dtype,
-                                                   router_starts=rstarts)
+                                                   router_starts=p_rs)
                         rep_dts.append(time.time() - t0)
                     point_probes.append(_probe())
                     if point_probes[-1] <= probe_clean_s:
                         break
-                    LOG(f"[bench] L={l}: probe {point_probes[-1]}s dirty; "
+                    LOG(f"[bench] {cname}: probe {point_probes[-1]}s dirty; "
                         f"re-queueing point (attempt {attempt + 1})")
                 dt = min(rep_dts)
         except TimeoutError as te:
             # wedged relay: report what the sweep has so far rather than
             # hanging the round's bench artifact
             LOG(f"[bench] {te}; reporting partial sweep")
-            break
+            wedged = True
+            continue
         r = knn_recall(ids, gt, k)
         qps = nq / dt
-        cname = f"L={l},q={qdt_name}"
         sweep.append({"l": l, "qdt": qdt_name, "recall": round(r, 4),
-                      "qps": round(qps),
+                      "qps": round(qps), "config": cname,
                       "rep_spread": [round(nq / t) for t in rep_dts],
                       "probe_s": point_probes})
         LOG(f"[bench] {cname}: recall@{k}={r:.4f} qps={qps:.0f} "
@@ -405,8 +428,8 @@ def main():
                 "extra": {"recall": r, "config": cname,
                           "partial": "watchdog_last_good", "n": n},
             })
-        if r >= 0.999:
-            break
+        if pt["grid"] and r >= 0.999:
+            skip_qdt.add(qdt_name)   # larger L is pure cost past this
 
     # ---- filtered family (YFCC row analogue): packed traversal + inline
     # beta filter + rerank, one composed dispatch per sub-batch ----
