@@ -229,17 +229,32 @@ def drop_deleted_rows(state: GraphArrays) -> GraphArrays:
     )
 
 
+def _pad_bucket(a: np.ndarray, bucket: int = 1 << 17) -> np.ndarray:
+    """Pad a 1-D index array to the next ``bucket`` multiple with -1.
+
+    Discovery gathers run at data-dependent sizes (the one/two-hop
+    candidate sets vary per delete batch), and every distinct shape costs
+    a fresh remote TPU compile (10-60s on the relay): the r05 streaming
+    bench measured 219.8s/cycle of discovery vs 9.8s of actual repair,
+    all of it per-cycle recompiles.  Bucketed shapes repeat across cycles
+    so the compile cache absorbs them; callers slice results back to the
+    true length after the fetch."""
+    size = -(-max(len(a), 1) // bucket) * bucket
+    return np.pad(a, (0, size - len(a)), constant_values=-1)
+
+
 def _rows_that_reference_deleted(state: GraphArrays, rows_np: np.ndarray):
     """Filter candidate rows down to live rows whose adjacency contains a
     deleted id (`return_refs_to_deleted_vertex`, index.rs:1139-1163)."""
     if len(rows_np) == 0:
         return rows_np
     cap = state.capacity
-    rows = jnp.asarray(rows_np.astype(np.int32))
-    adj = state.adjacency[jnp.clip(rows, 0, cap - 1)]
+    rows = jnp.asarray(_pad_bucket(rows_np.astype(np.int32)))
+    safe = jnp.clip(rows, 0, cap - 1)
+    adj = state.adjacency[safe]
     dead = (~state.valid[jnp.clip(adj, 0, cap - 1)]) & (adj >= 0)
-    keep = dead.any(axis=1) & state.valid[jnp.clip(rows, 0, cap - 1)]
-    return rows_np[np.asarray(keep)]
+    keep = dead.any(axis=1) & state.valid[safe]
+    return rows_np[np.asarray(keep)[: len(rows_np)]]
 
 
 def inplace_delete(
@@ -317,9 +332,10 @@ def inplace_delete(
     elif method == "two_hop_one_hop":
         one_hop = _uniq(out_lists)
         if len(one_hop):
+            oh = jnp.asarray(_pad_bucket(one_hop.astype(np.int32)))
             hop2 = np.asarray(
-                index.state.adjacency[jnp.asarray(one_hop.astype(np.int32))]
-            )
+                index.state.adjacency[jnp.clip(oh, 0, cap - 1)]
+            )[: len(one_hop)]
             m = np.zeros((cap,), bool)
             m[one_hop] = True
             flat = hop2.ravel()
