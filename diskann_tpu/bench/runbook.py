@@ -92,6 +92,7 @@ class RunbookExecutor:
         l_search: int | None = None,
         delete_method: str = "scan",
         delete_repair: str = "prune",
+        delete_kwargs: dict | None = None,
         search_kwargs: dict | None = None,
         exact_checkpoints: bool = True,
     ):
@@ -102,6 +103,7 @@ class RunbookExecutor:
         self.l_search = l_search
         self.delete_method = delete_method
         self.delete_repair = delete_repair
+        self.delete_kwargs = dict(delete_kwargs or {})
         self.search_kwargs = dict(search_kwargs or {})
         self.exact_checkpoints = exact_checkpoints
         self.tag_to_id: dict[int, int] = {}   # live tag -> internal id
@@ -146,6 +148,7 @@ class RunbookExecutor:
                         np.array([self.tag_to_id[t] for t in tags], np.int64),
                         method=self.delete_method,
                         repair=self.delete_repair,
+                        **self.delete_kwargs,
                     )
                 for t in tags:
                     del self.tag_to_id[t]
@@ -170,6 +173,7 @@ class RunbookExecutor:
                         ),
                         method=self.delete_method,
                         repair=self.delete_repair,
+                        **self.delete_kwargs,
                     )
                     rows = [r for _, r in pairs]
                     ids = self.index.insert(self.data[rows])

@@ -266,6 +266,8 @@ def inplace_delete(
     l_value: int | None = None,
     patch_batch: int = 0,
     repair: str = "prune",
+    max_dead: int = 4,
+    repl_cap: int = 16,
 ) -> None:
     """Multi in-place delete (index.rs:1338 `multi_inplace_delete`): mark,
     find affected in-neighbor rows per ``method``, patch them in batches,
@@ -286,7 +288,14 @@ def inplace_delete(
     whose per-dispatch cost is the fixed ~2R-iteration occlusion loop;
     4096 for "fill", whose cost is the [rows, C, d] candidate gather —
     bigger batches amortize dispatch overhead until the gather transient
-    (~1GB at 4096 x 480 x 128 f32) bounds them)."""
+    (~1GB at 4096 x 480 x 128 f32) bounds them).
+
+    max_dead: dead entries per row that contribute replacement candidates
+    (all dead entries are always dropped).  At 5% batch churn with R=64
+    the MEAN dead count per affected row is ~4.2, so the r04 default of 4
+    silently starved half the rows of replacements — the r05 stream run
+    measured recall_min 0.9356 with max_dead=4; 8 covers ~95% of rows.
+    repl_cap: see `_kept_and_repl` (fill only)."""
     import os
     import time as _time
 
@@ -388,14 +397,17 @@ def inplace_delete(
     t0 = _tick(f"mark+discovery ({method}, {len(affected)} rows)", t0)
 
     repair_fn = {"prune": patch_rows, "fill": fill_rows}[repair]
+    repair_kw = dict(repl_lookup=repl_lookup, repl_table=repl_table,
+                     max_dead=max_dead)
+    if repair == "fill":
+        repair_kw["repl_cap"] = repl_cap
     for off in range(0, len(affected), patch_batch):
         chunk = affected[off : off + patch_batch].astype(np.int32)
         pad = (-len(chunk)) % patch_batch
         if pad:
             chunk = np.pad(chunk, (0, pad), constant_values=-1)
         index.state = repair_fn(
-            index.state, jnp.asarray(chunk), index.config,
-            repl_lookup=repl_lookup, repl_table=repl_table,
+            index.state, jnp.asarray(chunk), index.config, **repair_kw,
         )
     t0 = _tick(f"{repair} patches ({(len(affected)+patch_batch-1)//patch_batch if len(affected) else 0} dispatches)", t0)
     index.state = drop_deleted_rows(index.state)

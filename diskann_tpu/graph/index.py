@@ -1592,7 +1592,8 @@ class GraphIndex:
 
     # ----------------------------------------------------------------- delete
     def delete(self, ids, *, method: str = "scan", k_value: int = 16,
-               l_value: int | None = None, repair: str = "prune") -> None:
+               l_value: int | None = None, repair: str = "prune",
+               max_dead: int = 4, repl_cap: int = 16) -> None:
         """In-place delete (IP-DiskANN): patch in-neighbors, drop rows.
         Deleted slots go to the freelist for reuse by later inserts.
 
@@ -1611,7 +1612,8 @@ class GraphIndex:
 
         inplace_delete(
             self, np.asarray(ids), method=method, k_value=k_value,
-            l_value=l_value, repair=repair,
+            l_value=l_value, repair=repair, max_dead=max_dead,
+            repl_cap=repl_cap,
         )
         self._invalidate_start()
 

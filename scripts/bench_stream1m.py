@@ -42,6 +42,10 @@ METHOD = os.environ.get("STREAM_DELETE_METHOD", "two_hop_one_hop")
 # measured 931 deletes/s, structurally capped by the ~2R-iteration
 # lax-loop floor per 1024-row patch dispatch
 REPAIR = os.environ.get("STREAM_REPAIR", "fill")
+# replacement-candidate budget per patched row: at 5% churn the mean dead
+# count per affected row is ~4.2, so max_dead=4 starves half the rows of
+# replacements (r05 first run: recall_min 0.9356); 8 covers ~95%
+MAX_DEAD = int(os.environ.get("STREAM_MAX_DEAD", 8))
 D, NQ, K = 128, 2048, 10
 OUT = os.environ.get("STREAM_OUT", "/root/repo/BENCH_STREAM1M_r05.json")
 
@@ -84,7 +88,7 @@ def main():
 
     ex = RunbookExecutor(
         idx, x, q, k=K, l_search=90, delete_method=METHOD,
-        delete_repair=REPAIR,
+        delete_repair=REPAIR, delete_kwargs={"max_dead": MAX_DEAD},
         search_kwargs={"mode": "packed", "query_dtype": np.float16,
                        "max_hops": 9},
     )
@@ -98,10 +102,14 @@ def main():
     # one ex.run per cycle + a partial artifact after each: a relay wedge
     # mid-run (observed >=2h outages, CLAUDE.md) costs one cycle, not the
     # whole bench
-    log = []
     for c in range(CYCLES):
         lo = c * step
-        log += ex.run([
+        # ex.run returns the executor's FULL accumulated log (not just this
+        # cycle's entries) — assign, don't append, or every earlier cycle
+        # is duplicated into the artifact and the summed rates are biased
+        # toward the compile-heavy first cycle (the r05 first run's 1,740
+        # deletes/s was really ~1,930 for exactly this reason)
+        log = ex.run([
             {"operation": "delete", "start": lo, "end": lo + step},
             {"operation": "insert", "start": N + lo, "end": N + lo + step},
             {"operation": "search"},
@@ -128,6 +136,7 @@ def _dump(log, build_s, *, partial):
         "extra": {
             "n": N, "cycles": CYCLES, "churn_frac": FRAC,
             "delete_method": METHOD, "delete_repair": REPAIR,
+            "delete_max_dead": MAX_DEAD,
             "build_s": round(build_s, 1),
             "inserts_per_s": round(ins_rate),
             "deletes_per_s": round(del_rate),
